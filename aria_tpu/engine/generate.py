@@ -1,0 +1,213 @@
+"""Serving engine: jitted prefill + chunked-scan decode with a static KV cache.
+
+The gptfast performance path rebuilt the JAX way (reference
+gptfast/generate.py:112-177): instead of torch.compile'ing a Python decode
+loop, the whole decode step — cache update, attention, MoE, sampling — is one
+jitted function, and N steps are rolled into a single ``lax.scan`` so host
+dispatch overhead is amortized across a chunk. Stop tokens are checked on the
+host once per chunk (bounded latency, no per-step device sync — the reference
+pays a per-step sync for stop-string checks, generate.py:324-335).
+
+Prompts are padded to power-of-two buckets so each shape compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from aria_tpu.config import AriaConfig
+from aria_tpu.engine.sampling import sample
+from aria_tpu.models.aria import prepare_embeddings
+from aria_tpu.models.moe_lm import KVCache, lm_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    temperature: float = 0.8
+    top_k: Optional[int] = 200
+    stop_token_ids: tuple[int, ...] = ()
+    decode_chunk: int = 32
+
+
+@dataclasses.dataclass
+class GenerateResult:
+    tokens: list[int]  # generated tokens (no prompt), truncated at stop
+    prefill_s: float
+    decode_s: float
+    steps: int
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.steps / self.decode_s if self.decode_s > 0 else float("inf")
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    def __init__(
+        self,
+        params: dict,
+        cfg: AriaConfig,
+        *,
+        max_seq_len: int = 2048,
+        cache_dtype=jnp.bfloat16,
+        rng_seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_seq_len = max_seq_len
+        self.cache_dtype = cache_dtype
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._prefill_jit = {}
+
+    # ---------------- jitted building blocks ----------------
+
+    def _prefill_fn(self, has_image: bool):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("temperature", "top_k"), donate_argnums=(2,))
+        def prefill(params, tokens, cache, true_len, rng, pixel_values=None,
+                    pixel_mask=None, *, temperature, top_k):
+            B, S = tokens.shape
+            embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
+            kv_pos = jnp.arange(cache.k.shape[2])
+            qi = jnp.arange(S)
+            mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            out = lm_forward(
+                params["lm"], cfg.text, inputs_embeds=embeds,
+                positions=jnp.arange(S), mask=mask,
+                cache=cache, cache_pos=jnp.int32(0),
+                logit_position=true_len - 1,
+            )
+            next_tok = sample(rng, out.logits[:, 0], temperature, top_k)
+            return next_tok, out.cache
+
+        return prefill
+
+    @functools.cached_property
+    def _decode_chunk_jit(self):
+        cfg = self.cfg
+
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
+        )
+        def decode_n(params, first_token, cache, start_pos, rng, *, n_steps, temperature, top_k):
+            kv_pos = jnp.arange(cache.k.shape[2])
+
+            def step(carry, i):
+                tok, cache, pos = carry
+                step_rng = jax.random.fold_in(rng, i)
+                mask = (kv_pos <= pos)[None, None, None, :]
+                out = lm_forward(
+                    params["lm"], cfg.text, tok[:, None],
+                    positions=pos[None], mask=mask,
+                    cache=cache, cache_pos=pos,
+                )
+                nxt = sample(step_rng, out.logits[:, -1], temperature, top_k)
+                return (nxt, out.cache, pos + 1), nxt
+
+            (_, cache, _), toks = jax.lax.scan(
+                step, (first_token, cache, start_pos), jnp.arange(n_steps)
+            )
+            return toks, cache  # toks: [n_steps, B]
+
+        return decode_n
+
+    # ---------------- public API ----------------
+
+    def new_cache(self, batch: int = 1) -> KVCache:
+        return KVCache.init(self.cfg.text, batch, self.max_seq_len, self.cache_dtype)
+
+    def generate(
+        self,
+        prompt_tokens: Sequence[int],
+        gen: GenerationConfig = GenerationConfig(),
+        pixel_values: Optional[np.ndarray] = None,  # [N, C, S, S]
+        pixel_mask: Optional[np.ndarray] = None,  # [N, S, S] bool
+        stop_check: Optional[Callable[[list[int]], bool]] = None,
+    ) -> GenerateResult:
+        """Single-sequence generation (continuous batching lives in serving/)."""
+        cfg = self.cfg
+        true_len = len(prompt_tokens)
+        bucket = _bucket(true_len)
+        if bucket + gen.max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"prompt bucket {bucket} + max_new_tokens {gen.max_new_tokens} "
+                f"exceeds max_seq_len {self.max_seq_len}"
+            )
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :true_len] = prompt_tokens
+
+        has_image = pixel_values is not None
+        key = (has_image, bucket, None if pixel_values is None else pixel_values.shape)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = self._prefill_fn(has_image)
+        prefill = self._prefill_jit[key]
+
+        self._rng, rng_p = jax.random.split(self._rng)
+        cache = self.new_cache(1)
+
+        t0 = time.perf_counter()
+        kwargs = dict(temperature=gen.temperature, top_k=gen.top_k)
+        if has_image:
+            next_tok, cache = prefill(
+                self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p,
+                jnp.asarray(pixel_values), jnp.asarray(pixel_mask), **kwargs,
+            )
+        else:
+            next_tok, cache = prefill(
+                self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p, **kwargs,
+            )
+        first = int(next_tok[0])  # blocks until prefill done
+        t1 = time.perf_counter()
+
+        generated = [first]
+        stop_ids = set(gen.stop_token_ids)
+        stopped = first in stop_ids
+        pos = true_len
+        cur = next_tok
+        steps = 0
+        while not stopped and len(generated) < gen.max_new_tokens:
+            n = min(gen.decode_chunk, gen.max_new_tokens - len(generated))
+            self._rng, rng_d = jax.random.split(self._rng)
+            toks, cache = self._decode_chunk_jit(
+                self.params, cur, cache, jnp.int32(pos), rng_d,
+                n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
+            )
+            toks_host = np.asarray(toks)[:, 0].tolist()
+            steps += n
+            pos += n
+            cur = toks[-1]
+            for t in toks_host:
+                generated.append(t)
+                if t in stop_ids or (stop_check is not None and stop_check(generated)):
+                    stopped = True
+                    break
+        t2 = time.perf_counter()
+
+        # Trim everything after (and including) a stop token.
+        for i, t in enumerate(generated):
+            if t in stop_ids:
+                generated = generated[: i + 1]
+                break
+
+        return GenerateResult(
+            tokens=generated,
+            prefill_s=t1 - t0,
+            decode_s=t2 - t1,
+            steps=len(generated) - 1,  # decode-step tokens (first came from prefill)
+        )

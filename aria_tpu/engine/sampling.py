@@ -1,0 +1,39 @@
+"""Sync-free sampling ops (all on-device, no host round-trips).
+
+Equivalent in distribution to the reference's sampling
+(gptfast/generate.py:35-56): temperature scaling, top-k filtering, and a
+Gumbel-argmax draw (the JAX analogue of the exponential-race multinomial
+trick — neither needs a host sync).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+NEG_INF = -1e30
+
+
+def filter_top_k(logits: Array, top_k: int) -> Array:
+    """Keep the top-k logits, set the rest to -inf. logits: [..., V]."""
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def sample(
+    rng: jax.Array,
+    logits: Array,  # [B, V] fp32
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+) -> Array:
+    """Returns [B] sampled token ids. temperature<=0 means greedy."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / max(temperature, 1e-5)
+    if top_k is not None:
+        scaled = filter_top_k(scaled, top_k)
+    gumbel = jax.random.gumbel(rng, scaled.shape, jnp.float32)
+    return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)

@@ -1,0 +1,205 @@
+"""The Aria MoE decoder, TPU-native.
+
+Functionally equivalent to the reference's 28-layer Llama-backbone MoE decoder
+(aria/model/moe_lm.py:528-679, gptfast/model.py:96-386) but structured for XLA:
+all layers' parameters are stacked on a leading axis and the layer loop is a
+``jax.lax.scan`` (single compiled layer body, fast compile, remat-friendly).
+
+Linear weights are stored in right-multiply layout ``[in, out]`` (``x @ W``);
+the checkpoint importer transposes from torch's ``[out, in]``.
+
+Aux losses are returned as values and added to the scalar loss by the train
+step — the JAX-native replacement for the reference's MoEAuxLossAutoScaler
+autograd hack (moe_lm.py:84-125).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from aria_tpu.config import TextConfig
+from aria_tpu.ops.attention import sdpa
+from aria_tpu.ops.moe import experts_gather, experts_grouped, glu, route_topk
+from aria_tpu.ops.norms import rms_norm
+from aria_tpu.ops.rope import apply_rope, precompute_rope
+
+# Below this many tokens the gathered-weights decode path beats the
+# dispatch+batched-GEMM path (analogue of gptfast/model.py:318's T<50 switch).
+GATHER_PATH_MAX_TOKENS = 32
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: [L, B, S_max, H_kv, D_head]."""
+
+    k: Array
+    v: Array
+
+    @staticmethod
+    def init(cfg: TextConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class LMOutput(NamedTuple):
+    logits: Array  # [B, S, V]
+    cache: Optional[KVCache]
+    z_loss: Array  # scalar fp32
+    aux_loss: Array  # scalar fp32
+
+
+def init_lm_params(rng: jax.Array, cfg: TextConfig, dtype=jnp.bfloat16) -> dict:
+    keys = iter(jax.random.split(rng, 16))
+
+    def dense(key, shape, scale_dim):
+        return (jax.random.normal(key, shape, jnp.float32) * (scale_dim**-0.5)).astype(dtype)
+
+    L, D, E = cfg.num_layers, cfg.hidden_size, cfg.num_experts
+    I, Is = cfg.moe_intermediate_size, cfg.shared_intermediate_size
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+    return {
+        "embed": dense(next(keys), (cfg.vocab_size, D), D),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "ffn_norm": jnp.ones((L, D), dtype),
+            "wqkv": dense(next(keys), (L, D, qkv_out), D),
+            "wo": dense(next(keys), (L, cfg.q_size, D), cfg.q_size),
+            "gate": dense(next(keys), (L, E, D), D).astype(jnp.float32),
+            "w1": dense(next(keys), (L, E, D, 2 * I), D),
+            "w2": dense(next(keys), (L, E, I, D), I),
+            "shared_w1": dense(next(keys), (L, D, 2 * Is), D),
+            "shared_w2": dense(next(keys), (L, Is, D), Is),
+        },
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": dense(next(keys), (D, cfg.vocab_size), D),
+    }
+
+
+def _attention(
+    layer: dict,
+    cfg: TextConfig,
+    x: Array,  # [B, S, D]
+    cos: Array,
+    sin: Array,
+    mask: Optional[Array],
+    cache_kv: Optional[tuple[Array, Array]],  # ([B, Smax, Hkv, Dh], ...)
+    cache_pos: Optional[Array],  # scalar int32: write offset into the cache
+):
+    B, S, _ = x.shape
+    qkv = jnp.einsum("bsd,df->bsf", x, layer["wqkv"], preferred_element_type=jnp.float32)
+    qkv = qkv.astype(x.dtype)
+    q_size = cfg.q_size
+    kv_size = cfg.num_kv_heads * cfg.head_dim
+    q = qkv[..., :q_size].reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = qkv[..., q_size : q_size + kv_size].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = qkv[..., q_size + kv_size :].reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_pos, axis=1)
+        k_att, v_att = k_cache, v_cache
+        new_cache = (k_cache, v_cache)
+    else:
+        k_att, v_att = k, v
+        new_cache = None
+
+    out = sdpa(q, k_att.astype(q.dtype), v_att.astype(q.dtype), mask)
+    out = out.reshape(B, S, q_size)
+    out = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
+    return out.astype(x.dtype), new_cache
+
+
+def _moe_ffn(layer: dict, cfg: TextConfig, x: Array, training: bool):
+    """MoE FFN + shared experts (reference moe_lm.py:548-577)."""
+    B, S, D = x.shape
+    flat = x.reshape(-1, D)
+    T = flat.shape[0]
+
+    routing = route_topk(
+        flat,
+        layer["gate"].astype(jnp.float32),
+        cfg.moe_topk,
+        z_loss_coeff=cfg.moe_z_loss_coeff,
+        aux_loss_coeff=cfg.moe_aux_loss_coeff,
+        training=training,
+    )
+    if T <= GATHER_PATH_MAX_TOKENS:
+        expert_out = experts_gather(flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
+    else:
+        expert_out = experts_grouped(flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
+
+    shared_h = jnp.einsum("td,df->tf", flat, layer["shared_w1"], preferred_element_type=jnp.float32)
+    shared_h = glu(shared_h.astype(x.dtype))
+    shared_out = jnp.einsum("tf,fd->td", shared_h, layer["shared_w2"], preferred_element_type=jnp.float32)
+
+    out = expert_out + shared_out.astype(x.dtype)
+    return out.reshape(B, S, D), routing.z_loss, routing.aux_loss
+
+
+def lm_forward(
+    params: dict,
+    cfg: TextConfig,
+    tokens: Optional[Array] = None,  # [B, S] int32
+    *,
+    inputs_embeds: Optional[Array] = None,  # [B, S, D]
+    positions: Optional[Array] = None,  # [S] or [B, S]
+    mask: Optional[Array] = None,  # broadcastable to [B, H, S, S_k]; True = attend
+    cache: Optional[KVCache] = None,
+    cache_pos: Optional[Array] = None,  # scalar int32 write offset
+    training: bool = False,
+    logit_position: Optional[Array] = None,  # scalar: compute logits at this position only
+) -> LMOutput:
+    """Run the decoder. Without a cache, defaults to causal self-attention."""
+    if inputs_embeds is None:
+        x = params["embed"][tokens].astype(params["lm_head"].dtype)
+    else:
+        x = inputs_embeds
+    B, S, D = x.shape
+
+    if positions is None:
+        positions = jnp.arange(S, dtype=jnp.int32)
+    cos, sin = precompute_rope(positions, cfg.head_dim, cfg.rope_base)
+
+    if mask is None and cache is None:
+        qi = jnp.arange(S)
+        mask = (qi[None, :] <= qi[:, None])[None, None]
+
+    layers = params["layers"]
+
+    def body(carry, xs):
+        h, zl, al = carry
+        if cache is not None:
+            layer, kc, vc = xs
+            out, (kc, vc) = _attention(layer, cfg, rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps), cos, sin, mask, (kc, vc), cache_pos)
+            ys = (kc, vc)
+        else:
+            layer = xs
+            out, _ = _attention(layer, cfg, rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps), cos, sin, mask, None, None)
+            ys = None
+        h = h + out
+        ffn_out, z_loss, aux_loss = _moe_ffn(layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training)
+        h = h + ffn_out
+        return (h, zl + z_loss, al + aux_loss), ys
+
+    init = (x, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    if cache is not None:
+        (x, z_loss, aux_loss), (new_k, new_v) = jax.lax.scan(body, init, (layers, cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v)
+    else:
+        (x, z_loss, aux_loss), _ = jax.lax.scan(body, init, layers)
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if logit_position is not None:
+        # Only the sampled position's logits are needed (prefill): skip the
+        # [S, V] matmul for all other positions.
+        x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
+    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"], preferred_element_type=jnp.float32)
+    return LMOutput(logits, new_cache, z_loss, aux_loss)

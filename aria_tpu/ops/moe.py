@@ -1,0 +1,161 @@
+"""Mixture-of-Experts ops: top-k routing, aux losses, and expert compute.
+
+Routing semantics match the reference exactly (aria/model/moe_lm.py:243-273 and
+gptfast/model.py:355-366): softmax is taken over the *top-k logits only* (fp32,
+cast back), while the aux load-balancing loss uses the full softmax over all
+experts (moe_lm.py:234). The z-loss and switch load-balancing loss formulas are
+from moe_lm.py:128-166.
+
+Expert compute is TPU-first, replacing the reference's CUDA ``grouped_gemm``
+(moe_lm.py:431-484):
+
+- ``experts_gather``: per-token gathered-weight einsum for small token counts
+  (decode), the analogue of gptfast/model.py:315-325.
+- ``experts_grouped``: sort + fixed-capacity dispatch into an ``[E, C, D]``
+  buffer followed by *batched* GEMMs that map straight onto the MXU, then a
+  weighted combine. With ``capacity >= T`` this is exactly dropless.
+
+Expert weights use the HF checkpoint layout: ``w1: [E, D, 2*I]`` (fused
+gate/up, GLU = silu(first half) * second half, moe_lm.py:498-509) and
+``w2: [E, I, D]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from aria_tpu.ops.activations import silu
+
+
+class RouterOutput(NamedTuple):
+    weights: Array  # [T, k] combine weights (softmax over top-k logits)
+    indices: Array  # [T, k] int32 expert ids
+    tokens_per_expert: Array  # [E] int32
+    z_loss: Array  # scalar fp32 (0 when not training)
+    aux_loss: Array  # scalar fp32 (0 when not training)
+
+
+def route_topk(
+    x: Array,  # [T, D]
+    gate_weight: Array,  # [E, D]
+    topk: int,
+    *,
+    z_loss_coeff: float = 0.0,
+    aux_loss_coeff: float = 0.0,
+    training: bool = False,
+) -> RouterOutput:
+    num_experts = gate_weight.shape[0]
+    logits = jnp.einsum(
+        "td,ed->te", x, gate_weight, preferred_element_type=jnp.float32
+    )
+
+    top_logits, top_indices = jax.lax.top_k(logits, topk)
+    scores = jax.nn.softmax(top_logits.astype(jnp.float32), axis=-1)
+
+    one_hot = jax.nn.one_hot(top_indices, num_experts, dtype=jnp.int32)
+    tokens_per_expert = jnp.sum(one_hot, axis=(0, 1))
+
+    if training:
+        z = jax.nn.logsumexp(logits, axis=-1)
+        z_loss = jnp.mean(jnp.square(z)) * z_loss_coeff
+        probs = jax.nn.softmax(logits, axis=-1)
+        num_tokens = logits.shape[0] * topk
+        aux_loss = jnp.sum(jnp.mean(probs, axis=0) * tokens_per_expert) * (
+            num_experts / num_tokens * aux_loss_coeff
+        )
+    else:
+        z_loss = jnp.zeros((), jnp.float32)
+        aux_loss = jnp.zeros((), jnp.float32)
+
+    return RouterOutput(
+        scores.astype(x.dtype), top_indices.astype(jnp.int32),
+        tokens_per_expert, z_loss, aux_loss,
+    )
+
+
+def glu(x: Array) -> Array:
+    gate, up = jnp.split(x, 2, axis=-1)
+    return silu(gate) * up
+
+
+def experts_gather(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k]
+    weights: Array,  # [T, k]
+    w1: Array,  # [E, D, 2I]
+    w2: Array,  # [E, I, D]
+) -> Array:
+    """Decode path: gather the active experts' weights per token and einsum."""
+    w1_g = w1[indices]  # [T, k, D, 2I]
+    w2_g = w2[indices]  # [T, k, I, D]
+    h = jnp.einsum("td,tkdf->tkf", x, w1_g, preferred_element_type=jnp.float32)
+    h = glu(h.astype(x.dtype))
+    out = jnp.einsum("tkf,tkfd->tkd", h, w2_g, preferred_element_type=jnp.float32)
+    out = jnp.einsum("tkd,tk->td", out, weights.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def _dispatch_indices(indices: Array, num_experts: int, capacity: int):
+    """Compute, per routing slot, its destination row in the [E*C] buffer.
+
+    Returns (slot_dest [T*k], token_ids [T*k]) with OOB slots mapped to E*C
+    (a trash row appended to the buffer).
+    """
+    T, k = indices.shape
+    flat_e = indices.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_e, stable=True)  # slots sorted by expert
+
+    counts = jnp.zeros((num_experts,), jnp.int32).at[flat_e].add(1)
+    starts = jnp.cumsum(counts) - counts  # exclusive cumsum [E]
+
+    sorted_e = flat_e[order]
+    ranks = jnp.arange(T * k, dtype=jnp.int32) - starts[sorted_e]
+    pos_in_expert = jnp.zeros((T * k,), jnp.int32).at[order].set(ranks)
+
+    in_cap = pos_in_expert < capacity
+    slot_dest = jnp.where(in_cap, flat_e * capacity + pos_in_expert, num_experts * capacity)
+    token_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    return slot_dest, token_ids
+
+
+def experts_grouped(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k]
+    weights: Array,  # [T, k]
+    w1: Array,  # [E, D, 2I]
+    w2: Array,  # [E, I, D]
+    capacity: Optional[int] = None,
+) -> Array:
+    """Prefill/train path: capacity dispatch + batched GEMM over experts.
+
+    ``capacity=None`` defaults to T (exactly dropless, since a token can route
+    to an expert at most once). Lower capacities trade dropped tokens for
+    compute, like GShard's capacity factor.
+    """
+    T, D = x.shape
+    E = w1.shape[0]
+    k = indices.shape[1]
+    C = T if capacity is None else capacity
+
+    slot_dest, token_ids = _dispatch_indices(indices, E, C)
+
+    # Scatter tokens into the expert buffer ([E*C + 1, D]; last row is trash).
+    buf = jnp.zeros((E * C + 1, D), x.dtype).at[slot_dest].set(x[token_ids])
+    buf = buf[: E * C].reshape(E, C, D)
+
+    h = jnp.einsum("ecd,edf->ecf", buf, w1, preferred_element_type=jnp.float32)
+    h = glu(h.astype(x.dtype))
+    out = jnp.einsum("ecf,efd->ecd", h, w2, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(E * C, D)
+    out = jnp.concatenate([out, jnp.zeros((1, D), x.dtype)], axis=0)
+
+    # Gather back and combine with routing weights ([T, k, D] -> [T, D]).
+    per_slot = out[slot_dest].reshape(T, k, D)
+    combined = jnp.einsum(
+        "tkd,tk->td", per_slot.astype(jnp.float32), weights.astype(jnp.float32)
+    )
+    return combined.astype(x.dtype)

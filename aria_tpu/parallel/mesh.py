@@ -1,0 +1,152 @@
+"""Device mesh and axis conventions.
+
+Replaces the reference's accelerate+DeepSpeed/NCCL distribution (SURVEY.md
+§2.2) with GSPMD: one logical mesh whose axes are
+
+- ``data``    : pure data parallelism (batch), DCN-friendly across slices
+- ``fsdp``    : ZeRO-3-like fully-sharded parameters/optimizer state
+- ``expert``  : expert parallelism over the 64-expert tensors
+- ``model``   : Megatron-style tensor parallelism (heads / ffn hidden)
+- ``context`` : sequence/context parallelism for 64K attention
+
+All collectives are compiled by XLA from sharding annotations — there is no
+NCCL-style runtime API to call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "expert", "model", "context")
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    fsdp: int = 1
+    expert: int = 1
+    model: int = 1
+    context: int = 1
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return (self.data, self.fsdp, self.expert, self.model, self.context)
+
+    @property
+    def num_devices(self) -> int:
+        return int(np.prod(self.shape))
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = cfg.num_devices
+    if len(devices) < n:
+        raise ValueError(f"Mesh {cfg.shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(cfg.shape)
+    return Mesh(dev_array, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(MeshConfig())
+
+
+def lm_param_specs() -> dict:
+    """PartitionSpecs for the LM param tree (layers have a leading L axis).
+
+    Expert weights shard over ``expert``; attention/ffn hidden over ``model``;
+    everything additionally shards over ``fsdp`` on a non-contracting axis.
+    """
+    return {
+        "embed": P("model", "fsdp"),
+        "layers": {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wqkv": P(None, "fsdp", "model"),
+            "wo": P(None, "model", "fsdp"),
+            "gate": P(None, None, "fsdp"),
+            "w1": P(None, "expert", "fsdp", "model"),
+            "w2": P(None, "expert", "model", "fsdp"),
+            "shared_w1": P(None, "fsdp", "model"),
+            "shared_w2": P(None, "model", "fsdp"),
+        },
+        "final_norm": P(None),
+        "lm_head": P("fsdp", "model"),
+    }
+
+
+def vit_param_specs() -> dict:
+    return {
+        "patch_embed_w": P(None, "fsdp"),
+        "patch_embed_b": P(None),
+        "pos_embed": P(None, "fsdp"),
+        "layers": {
+            "ln1_w": P(None, None),
+            "ln1_b": P(None, None),
+            "ln2_w": P(None, None),
+            "ln2_b": P(None, None),
+            "wq": P(None, "fsdp", "model"),
+            "bq": P(None, "model"),
+            "wk": P(None, "fsdp", "model"),
+            "bk": P(None, "model"),
+            "wv": P(None, "fsdp", "model"),
+            "bv": P(None, "model"),
+            "wo": P(None, "model", "fsdp"),
+            "bo": P(None, None),
+            "fc1_w": P(None, "fsdp", "model"),
+            "fc1_b": P(None, "model"),
+            "fc2_w": P(None, "model", "fsdp"),
+            "fc2_b": P(None, None),
+        },
+    }
+
+
+def projector_param_specs() -> dict:
+    return {
+        "query": P(None, "fsdp"),
+        "ln_q_w": P(None),
+        "ln_q_b": P(None),
+        "ln_kv_w": P(None),
+        "ln_kv_b": P(None),
+        "q_proj": P("fsdp", "model"),
+        "k_proj": P("fsdp", "model"),
+        "v_proj": P("fsdp", "model"),
+        "attn_in_w": P("fsdp", "model"),
+        "attn_in_b": P("model"),
+        "attn_out_w": P("model", "fsdp"),
+        "attn_out_b": P(None),
+        "linear_w": P("fsdp", "model"),
+        "linear_b": P("model"),
+        "ln_ffn_w": P(None),
+        "ln_ffn_b": P(None),
+        "ffn_in": P("fsdp", "model"),
+        "ffn_out": P("model", "fsdp"),
+    }
+
+
+def aria_param_specs() -> dict:
+    return {
+        "vision": vit_param_specs(),
+        "projector": projector_param_specs(),
+        "lm": lm_param_specs(),
+    }
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """Apply NamedShardings from a spec tree to a param tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def batch_spec() -> P:
+    """Activations: batch over (data, fsdp), sequence over context."""
+    return P(("data", "fsdp"), "context")

@@ -1,0 +1,98 @@
+"""Decode-throughput benchmark (reference methodology: gptfast/benchmark.py).
+
+Workload mirrors the reference's headline number (25.2 eager / 130.0 compiled
+tok/s on 1x H100): single-image multimodal prompt, 200 new tokens, top-k 200,
+temperature 0.8, 2 warmup + 5 timed runs.
+
+Model: flagship width/depth (2560 dim, 28 layers, full SigLIP-so400m ViT +
+projector) with 8 experts per layer — the exact per-chip shard of the 64-expert
+flagship under expert-parallel-8 on a v5e-8. Per-token HBM traffic equals the
+flagship's active set (top-6 experts + attention + shared experts ≈ 3.9B
+active params), so single-chip tok/s here is the shard-equivalent of
+tokens/sec/chip for the full model. (The full 25.3B bf16 model does not fit in
+one v5e's 16GB HBM; the reference's own numbers are also single-GPU with all
+64 experts resident in 80GB.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aria_tpu.config import AriaConfig, ProjectorConfig, TextConfig, VisionConfig
+from aria_tpu.engine.generate import Engine, GenerationConfig
+from aria_tpu.models.aria import init_aria_params
+
+BASELINE_TOK_S = 130.0  # gptfast/README.md:19-22, torch.compile on 1x H100
+
+
+def bench_config(num_experts: int = 8, num_layers: int = 28) -> AriaConfig:
+    base = AriaConfig.aria_25b()
+    return AriaConfig(
+        vision=base.vision,
+        projector=base.projector,
+        text=TextConfig(num_experts=num_experts, num_layers=num_layers),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--new-tokens", type=int, default=200)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--no-image", action="store_true")
+    args = ap.parse_args()
+
+    cfg = bench_config(args.experts, args.layers)
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"# init: {time.perf_counter() - t0:.1f}s "
+          f"({sum(x.size for x in jax.tree.leaves(params)) / 1e9:.2f}B params)", flush=True)
+
+    engine = Engine(params, cfg, max_seq_len=1024)
+
+    # Single-image prompt: 256 image tokens (one 980px crop) + text.
+    if args.no_image:
+        prompt = [11] * 48
+        pixels = mask = None
+    else:
+        n_q = cfg.projector.query_count((980 // 14) ** 2)
+        prompt = [11] * 8 + [cfg.image_token_id] * n_q + [13] * 8
+        pixels = np.random.RandomState(0).randn(1, 3, 980, 980).astype(np.float32)
+        mask = np.ones((1, 980, 980), bool)
+
+    gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.8, top_k=200,
+                           decode_chunk=50)
+
+    results = []
+    for i in range(args.warmup + args.runs):
+        res = engine.generate(prompt, gen, pixel_values=pixels, pixel_mask=mask)
+        phase = "warmup" if i < args.warmup else "timed"
+        print(f"# {phase} run {i}: prefill {res.prefill_s*1e3:.0f}ms, "
+              f"{res.steps} tokens in {res.decode_s:.2f}s = {res.tokens_per_s:.1f} tok/s", flush=True)
+        if i >= args.warmup:
+            results.append(res)
+
+    tok_s = float(np.mean([r.tokens_per_s for r in results]))
+    ttft = float(np.mean([r.prefill_s for r in results]))
+    print(f"# mean image-to-first-token: {ttft*1e3:.0f}ms")
+    print(json.dumps({
+        "metric": "decode_tok_s_1chip_ep8_shard_equiv",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

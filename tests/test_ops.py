@@ -1,0 +1,184 @@
+"""Unit tests for core ops against independent numpy/torch references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from aria_tpu.ops.activations import gelu_tanh, silu
+from aria_tpu.ops.attention import causal_mask, sdpa
+from aria_tpu.ops.moe import experts_gather, experts_grouped, route_topk
+from aria_tpu.ops.norms import layer_norm, rms_norm
+from aria_tpu.ops.rope import apply_rope, precompute_rope
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+class TestNorms:
+    def test_rms_norm_matches_torch(self):
+        x = torch.randn(2, 5, 16, dtype=torch.float32)
+        w = torch.randn(16)
+        ref = x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + 1e-5) * w
+        got = rms_norm(t2j(x), t2j(w), 1e-5)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_layer_norm_matches_torch(self):
+        x = torch.randn(2, 5, 16)
+        w, b = torch.randn(16), torch.randn(16)
+        ref = F.layer_norm(x, (16,), w, b, 1e-6)
+        got = layer_norm(t2j(x), t2j(w), t2j(b), 1e-6)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+class TestRope:
+    def test_interleaved_rope_matches_reference_formula(self):
+        """Reference: gptfast/model.py:500-531 (complex polar form, interleaved)."""
+        B, S, H, D = 2, 7, 3, 8
+        base = 5_000_000.0
+        x = torch.randn(B, S, H, D)
+
+        freqs = 1.0 / (base ** (torch.arange(0, D, 2).float() / D))
+        t = torch.arange(S)
+        fr = torch.outer(t.float(), freqs)
+        fc = torch.polar(torch.ones_like(fr), fr)  # [S, D/2] complex
+        xs = x.reshape(B, S, H, D // 2, 2)
+        fc_ = fc.view(1, S, 1, D // 2)
+        ref = torch.stack(
+            [
+                xs[..., 0] * fc_.real - xs[..., 1] * fc_.imag,
+                xs[..., 1] * fc_.real + xs[..., 0] * fc_.imag,
+            ],
+            -1,
+        ).reshape(B, S, H, D)
+
+        cos, sin = precompute_rope(jnp.arange(S), D, base)
+        got = apply_rope(t2j(x), cos, sin)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_rope_with_offset_positions(self):
+        S, D = 4, 8
+        cos_full, sin_full = precompute_rope(jnp.arange(10), D, 1e4)
+        cos_off, sin_off = precompute_rope(jnp.arange(3, 3 + S), D, 1e4)
+        np.testing.assert_allclose(np.asarray(cos_full[3 : 3 + S]), np.asarray(cos_off), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sin_full[3 : 3 + S]), np.asarray(sin_off), rtol=1e-6)
+
+
+class TestAttention:
+    def test_sdpa_matches_torch(self):
+        B, Sq, Sk, H, D = 2, 5, 7, 4, 16
+        q = torch.randn(B, Sq, H, D)
+        k = torch.randn(B, Sk, H, D)
+        v = torch.randn(B, Sk, H, D)
+        mask = torch.rand(B, 1, Sq, Sk) > 0.3
+        mask[..., 0] = True  # no fully-masked rows
+        ref = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2), attn_mask=mask
+        ).transpose(1, 2)
+        got = sdpa(t2j(q), t2j(k), t2j(v), t2j(mask))
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_causal_mask_offset(self):
+        m = causal_mask(2, 6, offset=3)[0, 0]
+        expected = np.array(
+            [[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 0]], dtype=bool
+        )
+        np.testing.assert_array_equal(np.asarray(m), expected)
+
+
+class TestMoE:
+    def _setup(self, T=11, D=16, E=8, k=2, I=12, seed=0):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(T, D).astype(np.float32))
+        gate = jnp.asarray(rng.randn(E, D).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(E, D, 2 * I).astype(np.float32)) * 0.1
+        w2 = jnp.asarray(rng.randn(E, I, D).astype(np.float32)) * 0.1
+        return x, gate, w1, w2, k
+
+    def test_routing_softmax_over_topk_only(self):
+        """Reference semantics: softmax AFTER topk (moe_lm.py:261-262)."""
+        x, gate, _, _, k = self._setup()
+        out = route_topk(x, gate, k)
+        logits = np.asarray(x) @ np.asarray(gate).T
+        top_idx = np.argsort(-logits, axis=-1, kind="stable")[:, :k]
+        top_log = np.take_along_axis(logits, top_idx, axis=-1)
+        ref_w = np.exp(top_log - top_log.max(-1, keepdims=True))
+        ref_w /= ref_w.sum(-1, keepdims=True)
+        np.testing.assert_array_equal(np.asarray(out.indices), top_idx)
+        np.testing.assert_allclose(np.asarray(out.weights), ref_w, rtol=1e-5)
+        assert int(out.tokens_per_expert.sum()) == x.shape[0] * k
+
+    def test_gather_and_grouped_paths_agree(self):
+        x, gate, w1, w2, k = self._setup()
+        r = route_topk(x, gate, k)
+        a = experts_gather(x, r.indices, r.weights, w1, w2)
+        b = experts_grouped(x, r.indices, r.weights, w1, w2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_grouped_matches_torch_reference_semantics(self):
+        """Independent torch reference of the whole MoE FFN math."""
+        x, gate, w1, w2, k = self._setup(T=23)
+        r = route_topk(x, gate, k)
+        got = experts_grouped(x, r.indices, r.weights, w1, w2)
+
+        xt = torch.tensor(np.asarray(x))
+        w1t = torch.tensor(np.asarray(w1))
+        w2t = torch.tensor(np.asarray(w2))
+        idx = torch.tensor(np.asarray(r.indices))
+        wts = torch.tensor(np.asarray(r.weights))
+        T = xt.shape[0]
+        ref = torch.zeros_like(xt)
+        for t in range(T):
+            acc = torch.zeros(xt.shape[1])
+            for j in range(k):
+                e = idx[t, j].item()
+                h = xt[t] @ w1t[e]
+                g, u = h.chunk(2)
+                h = F.silu(g) * u
+                acc += wts[t, j] * (h @ w2t[e])
+            ref[t] = acc
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_capacity_drops_tokens(self):
+        x, gate, w1, w2, k = self._setup(T=11)
+        r = route_topk(x, gate, k)
+        full = experts_grouped(x, r.indices, r.weights, w1, w2, capacity=11)
+        dropped = experts_grouped(x, r.indices, r.weights, w1, w2, capacity=1)
+        assert not np.allclose(np.asarray(full), np.asarray(dropped))
+
+    def test_aux_losses_match_reference_formulas(self):
+        """z-loss (moe_lm.py:128-140) and switch aux loss (moe_lm.py:143-166)."""
+        x, gate, _, _, k = self._setup()
+        coeff_z, coeff_a = 1e-5, 1e-3
+        out = route_topk(x, gate, k, z_loss_coeff=coeff_z, aux_loss_coeff=coeff_a, training=True)
+
+        logits = torch.tensor(np.asarray(x)) @ torch.tensor(np.asarray(gate)).T
+        ref_z = torch.mean(torch.square(torch.logsumexp(logits, dim=-1))) * coeff_z
+        probs = torch.softmax(logits, dim=-1)
+        tpe = torch.tensor(np.asarray(out.tokens_per_expert), dtype=torch.float32)
+        E = logits.shape[1]
+        num_tokens = logits.shape[0] * k
+        ref_aux = torch.sum(probs.mean(0) * tpe) * (E / num_tokens * coeff_a)
+        np.testing.assert_allclose(float(out.z_loss), float(ref_z), rtol=1e-5)
+        np.testing.assert_allclose(float(out.aux_loss), float(ref_aux), rtol=1e-5)
+
+    def test_inference_mode_no_aux_loss(self):
+        x, gate, _, _, k = self._setup()
+        out = route_topk(x, gate, k, z_loss_coeff=1.0, aux_loss_coeff=1.0, training=False)
+        assert float(out.z_loss) == 0.0 and float(out.aux_loss) == 0.0
+
+
+class TestActivations:
+    def test_gelu_tanh_matches_torch(self):
+        x = torch.randn(100)
+        ref = F.gelu(x, approximate="tanh")
+        got = gelu_tanh(t2j(x))
+        # XLA's tanh differs from libm's by ~1ulp-of-bf16-ish; allow 1e-3 rel.
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=1e-5)
+
+    def test_silu_matches_torch(self):
+        x = torch.randn(100)
+        np.testing.assert_allclose(np.asarray(silu(t2j(x))), F.silu(x).numpy(), rtol=1e-5, atol=1e-6)
