@@ -1,0 +1,156 @@
+"""Host-side image preprocessing: variable-resolution crops + keep-ratio resize.
+
+Behavioral parity with the reference's AriaVisionProcessor
+(aria/model/vision_processor.py:29-321): aspect-ratio grid selection over the
+19 allowed split ratios, multi-crop split (full image prepended when >1 crop),
+keep-ratio BICUBIC resize with long side → {490, 980} and short side >= 336,
+bottom/right zero padding, a boolean pixel mask, and mean/std-0.5
+normalization. PIL is used for the resize so resampling matches the reference
+bit-for-bit; everything downstream is numpy.
+
+Outputs are numpy (host) — the device pipeline starts at pixel_values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+DEFAULT_SPLIT_RATIOS: Tuple[Tuple[int, int], ...] = (
+    (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (1, 8),
+    (2, 4), (2, 3), (2, 2), (2, 1), (3, 1), (3, 2),
+    (4, 1), (4, 2), (5, 1), (6, 1), (7, 1), (8, 1),
+)
+
+ALLOWED_MAX_SIZES = (490, 980)
+
+
+def select_best_resolution(
+    img_width: int, img_height: int,
+    target_ratios: Sequence[Tuple[int, int]], patch_size: int,
+) -> Tuple[int, int]:
+    """Pick the grid (w, h) whose aspect ratio best matches the image
+    (vision_processor.py:29-61, including the area tie-break)."""
+    aspect_ratio = img_width / img_height
+    best_diff = float("inf")
+    best = (1, 1)
+    area = int(img_width) * int(img_height)
+    for rw, rh in target_ratios:
+        target = rw / rh
+        diff = abs(aspect_ratio - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = (rw, rh)
+        elif diff == best_diff and area > 0.5 * patch_size * patch_size * rw * rh:
+            best = (rw, rh)
+    return best
+
+
+def split_image(
+    image: Image.Image,
+    split: bool,
+    split_ratios: Sequence[Tuple[int, int]] = DEFAULT_SPLIT_RATIOS,
+    patch_size: int = 980,
+) -> List[Image.Image]:
+    """Multi-crop split; prepends the full image when >1 crop
+    (vision_processor.py:64-106)."""
+    if not split:
+        return [image]
+    rw, rh = select_best_resolution(image.width, image.height, split_ratios, patch_size)
+    resize_w, resize_h = patch_size * rw, patch_size * rh
+    blocks = rw * rh
+    resized = image.resize((resize_w, resize_h))
+    cols = resize_w // patch_size
+    crops = []
+    for i in range(blocks):
+        box = (
+            (i % cols) * patch_size,
+            (i // cols) * patch_size,
+            ((i % cols) + 1) * patch_size,
+            ((i // cols) + 1) * patch_size,
+        )
+        crops.append(resized.crop(box))
+    if len(crops) != 1:
+        crops.insert(0, image)
+    return crops
+
+
+def keep_ratio_resize_and_pixel_mask(
+    img: Image.Image, max_size: int, min_size: int = 336,
+) -> Tuple[Image.Image, np.ndarray]:
+    """Keep-ratio BICUBIC resize + bottom/right pad + bool mask
+    (vision_processor.py:109-151)."""
+    img = img.convert("RGB")
+    scale = max_size / max(img.size)
+    w, h = img.size
+    if w >= h:
+        new_size = (max_size, max(int(h * scale), min_size))
+    else:
+        new_size = (max(int(w * scale), min_size), max_size)
+    resized = img.resize(new_size, resample=Image.Resampling.BICUBIC)
+    padded = Image.new("RGB", (max_size, max_size), (0, 0, 0))
+    padded.paste(resized, (0, 0))
+    mask = np.zeros((max_size, max_size), dtype=bool)
+    mask[: new_size[1], : new_size[0]] = True
+    return padded, mask
+
+
+_split_image_fn = split_image  # the __call__ kwarg below shadows the name
+
+
+@dataclasses.dataclass
+class ImageBatch:
+    pixel_values: np.ndarray  # [N, 3, S, S] float32, normalized
+    pixel_mask: np.ndarray  # [N, S, S] bool
+    num_crops: np.ndarray  # [num_images] int32
+
+
+class AriaVisionProcessor:
+    """Equivalent of the reference AriaVisionProcessor (vision_processor.py:154)."""
+
+    def __init__(
+        self,
+        max_image_size: int = 980,
+        min_image_size: int = 336,
+        image_mean: Sequence[float] = (0.5, 0.5, 0.5),
+        image_std: Sequence[float] = (0.5, 0.5, 0.5),
+    ):
+        self.max_image_size = max_image_size
+        self.min_image_size = min_image_size
+        self.image_mean = np.asarray(image_mean, np.float32).reshape(3, 1, 1)
+        self.image_std = np.asarray(image_std, np.float32).reshape(3, 1, 1)
+
+    def __call__(
+        self,
+        images: Union[Image.Image, Sequence[Image.Image]],
+        max_image_size: int | None = None,
+        min_image_size: int | None = None,
+        split_image: bool = False,
+        split_ratios: Sequence[Tuple[int, int]] = DEFAULT_SPLIT_RATIOS,
+    ) -> ImageBatch:
+        max_size = self.max_image_size if max_image_size is None else max_image_size
+        min_size = self.min_image_size if min_image_size is None else min_image_size
+        if max_size not in ALLOWED_MAX_SIZES:
+            raise ValueError("max_image_size must be either 490 or 980")
+        if isinstance(images, Image.Image):
+            images = [images]
+
+        pixel_values, pixel_masks, num_crops = [], [], []
+        for image in images:
+            crops = _split_image_fn(image, split_image, split_ratios, max_size)
+            num_crops.append(len(crops))
+            for crop in crops:
+                padded, mask = keep_ratio_resize_and_pixel_mask(crop, max_size, min_size)
+                arr = np.asarray(padded, np.float32).transpose(2, 0, 1) / 255.0
+                arr = (arr - self.image_mean) / self.image_std
+                pixel_values.append(arr)
+                pixel_masks.append(mask)
+
+        return ImageBatch(
+            pixel_values=np.stack(pixel_values),
+            pixel_mask=np.stack(pixel_masks),
+            num_crops=np.asarray(num_crops, np.int32),
+        )
