@@ -7,7 +7,8 @@ framework's param tree:
 - q/k/v are *permuted* from HF Llama's half-rotation RoPE layout to the
   interleaved-pair layout used here (convert_hf_checkpoint.py:110-116), then
   fused with v into one ``wqkv`` ([in, out] orientation).
-- expert fc1 keeps the fused [E, D, 2I] (gate|up) layout; fc2 is [E, I, D].
+- expert fc1 [E, D, 2I] is transposed to the out-major [E, 2I, D] layout
+  (contiguous per-expert weight tiles for the decode kernel); fc2 stays [E, I, D].
 - shared-expert gate/up projections fuse into ``shared_w1`` [D, 2*Is].
 - every torch Linear weight is transposed to right-multiply [in, out].
 - per-layer tensors are stacked on a leading L axis (lax.scan layout).
@@ -136,7 +137,7 @@ def import_hf_state_dict(sd: Dict[str, np.ndarray], cfg: AriaConfig, dtype=jnp.b
                 np.stack([get(lm_prefix.format(i) + "mlp.router.weight") for i in range(L)]),
                 jnp.float32,
             ),
-            "w1": stack_lm("mlp.experts.fc1.weight"),  # [E, D, 2I] already
+            "w1": stack_lm("mlp.experts.fc1.weight", lambda w: w.transpose(0, 2, 1)),  # -> [E, 2I, D]
             "w2": stack_lm("mlp.experts.fc2.weight"),  # [E, I, D] already
             "shared_w1": as_jnp(np.stack([shared_fuse(i) for i in range(L)])),
             "shared_w2": stack_lm("mlp.shared_experts.down_proj.weight", lambda w: w.T),

@@ -23,7 +23,14 @@ from jax import Array
 
 from aria_tpu.config import TextConfig
 from aria_tpu.ops.attention import sdpa
-from aria_tpu.ops.moe import experts_gather, experts_grouped, glu, route_topk
+from aria_tpu.ops.backend import use_pallas
+from aria_tpu.ops.moe import (
+    experts_gather,
+    experts_grouped,
+    experts_ragged,
+    glu,
+    route_topk,
+)
 from aria_tpu.ops.norms import rms_norm
 from aria_tpu.ops.rope import apply_rope, precompute_rope
 
@@ -68,7 +75,7 @@ def init_lm_params(rng: jax.Array, cfg: TextConfig, dtype=jnp.bfloat16) -> dict:
             "wqkv": dense(next(keys), (L, D, qkv_out), D),
             "wo": dense(next(keys), (L, cfg.q_size, D), cfg.q_size),
             "gate": dense(next(keys), (L, E, D), D).astype(jnp.float32),
-            "w1": dense(next(keys), (L, E, D, 2 * I), D),
+            "w1": dense(next(keys), (L, E, 2 * I, D), D),
             "w2": dense(next(keys), (L, E, I, D), I),
             "shared_w1": dense(next(keys), (L, D, 2 * Is), D),
             "shared_w2": dense(next(keys), (L, Is, D), Is),
@@ -130,10 +137,18 @@ def _moe_ffn(layer: dict, cfg: TextConfig, x: Array, training: bool):
         aux_loss_coeff=cfg.moe_aux_loss_coeff,
         training=training,
     )
+    args = (flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
     if T <= GATHER_PATH_MAX_TOKENS:
-        expert_out = experts_gather(flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
+        if use_pallas() and not training:  # moe_decode is fwd-only
+            from aria_tpu.ops.moe_decode_kernel import moe_decode
+
+            I = cfg.moe_intermediate_size
+            ft = next((f for f in (512, 256, 128) if I % f == 0), None)
+            expert_out = moe_decode(*args, ft=ft) if ft else experts_gather(*args)
+        else:
+            expert_out = experts_gather(*args)
     else:
-        expert_out = experts_grouped(flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
+        expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
 
     shared_h = jnp.einsum("td,df->tf", flat, layer["shared_w1"], preferred_element_type=jnp.float32)
     shared_h = glu(shared_h.astype(x.dtype))

@@ -15,8 +15,10 @@ Expert compute is TPU-first, replacing the reference's CUDA ``grouped_gemm``
   buffer followed by *batched* GEMMs that map straight onto the MXU, then a
   weighted combine. With ``capacity >= T`` this is exactly dropless.
 
-Expert weights use the HF checkpoint layout: ``w1: [E, D, 2*I]`` (fused
-gate/up, GLU = silu(first half) * second half, moe_lm.py:498-509) and
+Expert weights are stored out-major for contiguous per-expert weight tiles
+(the decode kernel streams them row-wise from HBM): ``w1: [E, 2*I, D]``
+(fused gate/up, GLU = silu(first half) * second half, matching the
+reference fc1 semantics at moe_lm.py:498-509 up to a transpose) and
 ``w2: [E, I, D]``.
 """
 
@@ -86,13 +88,13 @@ def experts_gather(
     x: Array,  # [T, D]
     indices: Array,  # [T, k]
     weights: Array,  # [T, k]
-    w1: Array,  # [E, D, 2I]
+    w1: Array,  # [E, 2I, D]
     w2: Array,  # [E, I, D]
 ) -> Array:
     """Decode path: gather the active experts' weights per token and einsum."""
-    w1_g = w1[indices]  # [T, k, D, 2I]
+    w1_g = w1[indices]  # [T, k, 2I, D]
     w2_g = w2[indices]  # [T, k, I, D]
-    h = jnp.einsum("td,tkdf->tkf", x, w1_g, preferred_element_type=jnp.float32)
+    h = jnp.einsum("td,tkfd->tkf", x, w1_g, preferred_element_type=jnp.float32)
     h = glu(h.astype(x.dtype))
     out = jnp.einsum("tkf,tkfd->tkd", h, w2_g, preferred_element_type=jnp.float32)
     out = jnp.einsum("tkd,tk->td", out, weights.astype(jnp.float32))
@@ -126,7 +128,7 @@ def experts_grouped(
     x: Array,  # [T, D]
     indices: Array,  # [T, k]
     weights: Array,  # [T, k]
-    w1: Array,  # [E, D, 2I]
+    w1: Array,  # [E, 2I, D]
     w2: Array,  # [E, I, D]
     capacity: Optional[int] = None,
 ) -> Array:
@@ -147,7 +149,7 @@ def experts_grouped(
     buf = jnp.zeros((E * C + 1, D), x.dtype).at[slot_dest].set(x[token_ids])
     buf = buf[: E * C].reshape(E, C, D)
 
-    h = jnp.einsum("ecd,edf->ecf", buf, w1, preferred_element_type=jnp.float32)
+    h = jnp.einsum("ecd,efd->ecf", buf, w1, preferred_element_type=jnp.float32)
     h = glu(h.astype(x.dtype))
     out = jnp.einsum("ecf,efd->ecd", h, w2, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(E * C, D)
@@ -157,5 +159,52 @@ def experts_grouped(
     per_slot = out[slot_dest].reshape(T, k, D)
     combined = jnp.einsum(
         "tkd,tk->td", per_slot.astype(jnp.float32), weights.astype(jnp.float32)
+    )
+    return combined.astype(x.dtype)
+
+
+def experts_ragged(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k]
+    weights: Array,  # [T, k]
+    w1: Array,  # [E, 2I, D] out-major
+    w2: Array,  # [E, I, D]
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Dropless ragged path on TPU: sort tokens by expert, then megablox
+    grouped matmuls with on-device group sizes (no host sync, unlike the
+    reference's tokens_per_expert.cpu(), moe_lm.py:478). Differentiable —
+    megablox gmm carries a custom VJP.
+    """
+    from jax.experimental.pallas.ops.tpu.megablox.ops import gmm
+
+    T, D = x.shape
+    E = w1.shape[0]
+    k = indices.shape[1]
+
+    flat_e = indices.reshape(-1)
+    order = jnp.argsort(flat_e, stable=True)  # [T*k] routing slots by expert
+    sorted_tokens = x[order // k]
+    group_sizes = jnp.zeros((E,), jnp.int32).at[flat_e].add(1)
+
+    # gmm requires rows divisible by the m-tile; pad rows are assigned to the
+    # last expert (their outputs are dropped by the unpermute below).
+    M = T * k
+    M_pad = -(-M // 128) * 128
+    if M_pad != M:
+        sorted_tokens = jnp.pad(sorted_tokens, ((0, M_pad - M), (0, 0)))
+        group_sizes = group_sizes.at[E - 1].add(M_pad - M)
+
+    h = gmm(sorted_tokens, w1, group_sizes, transpose_rhs=True,
+            preferred_element_type=jnp.float32, interpret=interpret)
+    h = glu(h.astype(x.dtype))
+    out = gmm(h, w2, group_sizes, preferred_element_type=jnp.float32,
+              interpret=interpret)
+
+    out = out[:M]
+    unsorted = jnp.zeros_like(out).at[order].set(out)  # inverse permutation
+    combined = jnp.einsum(
+        "tkd,tk->td", unsorted.reshape(T, k, D), weights.astype(jnp.float32)
     )
     return combined.astype(x.dtype)

@@ -1,0 +1,116 @@
+"""Pallas decode-MoE kernel: fused expert-weight streaming for small token
+counts.
+
+The XLA decode path (``experts_gather``) materializes ``w1[indices]`` /
+``w2[indices]`` into fresh HBM buffers before the einsum — ~3x the active
+expert weight traffic. This kernel instead uses scalar-prefetched routing
+indices inside BlockSpec index maps, so the pipeline DMAs each selected
+expert's weight tiles HBM->VMEM exactly once and fuses the GLU + combine:
+
+    out[t] = sum_s weights[t,s] * ( silu(x[t] @ w1g[e].T) * (x[t] @ w1u[e].T) ) @ w2[e]
+
+with e = indices[t, s]. Per token, HBM traffic = top-k experts' weights, the
+same active set the reference's CUDA grouped_gemm reads
+(aria/model/moe_lm.py:431-484) — without its host sync.
+
+Weight layout is out-major so every weight tile is a contiguous run of HBM
+rows (long DMA bursts): w1 [E, 2I, D] (gate rows then up rows), w2 [E, I, D].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CONTRACT_LAST = (((1,), (1,)), ((), ()))  # x[1,D] . w[ft,D] -> [1,ft]
+
+
+def _kernel(idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
+    t = pl.program_id(0)
+    s = pl.program_id(1)
+    f = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(s == 0, f == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[:]  # [1, D]
+    gate = jax.lax.dot_general(
+        x, w1g_ref[0], _CONTRACT_LAST, preferred_element_type=jnp.float32
+    )  # [1, FT]
+    up = jax.lax.dot_general(
+        x, w1u_ref[0], _CONTRACT_LAST, preferred_element_type=jnp.float32
+    )
+    h = (gate * jax.lax.logistic(gate)) * up  # silu(gate) * up, fp32
+    partial = jnp.dot(
+        h.astype(x.dtype), w2_ref[0], preferred_element_type=jnp.float32
+    )  # [1, D]
+    out_ref[:] += w_ref[t, s] * partial
+
+
+@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
+def moe_decode(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k] int32
+    weights: Array,  # [T, k] fp32/bf16
+    w1: Array,  # [E, 2I, D] out-major
+    w2: Array,  # [E, I, D]
+    *,
+    ft: int = 256,
+    interpret: bool = False,
+) -> Array:
+    T, D = x.shape
+    k = indices.shape[1]
+    E, I2, _ = w1.shape
+    I = I2 // 2
+    assert I % ft == 0, f"moe intermediate {I} must be divisible by tile {ft}"
+    nf = I // ft
+
+    idx_flat = indices.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, k, nf),
+        in_specs=[
+            pl.BlockSpec((1, D), lambda t, s, f, idx: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k], unblocked
+            # gate rows: w1[e, f*ft:(f+1)*ft, :]
+            pl.BlockSpec(
+                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # up rows: w1[e, I + f*ft : I + (f+1)*ft, :]
+            pl.BlockSpec(
+                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], nf + f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # w2 rows: w2[e, f*ft:(f+1)*ft, :]
+            pl.BlockSpec(
+                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, D), lambda t, s, f, idx: (t, 0), memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * k * D * I * 3,
+            bytes_accessed=T * k * (2 * D * I + I * D) * w1.dtype.itemsize,
+            transcendentals=T * k * I,
+        ),
+        interpret=interpret,
+    )(idx_flat, x, weights.astype(jnp.float32).reshape(T, k), w1, w1, w2)
+
+    return out.astype(x.dtype)

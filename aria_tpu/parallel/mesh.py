@@ -70,7 +70,7 @@ def lm_param_specs() -> dict:
             "wqkv": P(None, "fsdp", "model"),
             "wo": P(None, "model", "fsdp"),
             "gate": P(None, None, "fsdp"),
-            "w1": P(None, "expert", "fsdp", "model"),
+            "w1": P(None, "expert", "model", "fsdp"),
             "w2": P(None, "expert", "model", "fsdp"),
             "shared_w1": P(None, "fsdp", "model"),
             "shared_w2": P(None, "model", "fsdp"),

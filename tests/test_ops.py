@@ -94,7 +94,7 @@ class TestMoE:
         rng = np.random.RandomState(seed)
         x = jnp.asarray(rng.randn(T, D).astype(np.float32))
         gate = jnp.asarray(rng.randn(E, D).astype(np.float32))
-        w1 = jnp.asarray(rng.randn(E, D, 2 * I).astype(np.float32)) * 0.1
+        w1 = jnp.asarray(rng.randn(E, 2 * I, D).astype(np.float32)) * 0.1
         w2 = jnp.asarray(rng.randn(E, I, D).astype(np.float32)) * 0.1
         return x, gate, w1, w2, k
 
@@ -135,7 +135,7 @@ class TestMoE:
             acc = torch.zeros(xt.shape[1])
             for j in range(k):
                 e = idx[t, j].item()
-                h = xt[t] @ w1t[e]
+                h = w1t[e] @ xt[t]  # out-major [2I, D] @ [D]
                 g, u = h.chunk(2)
                 h = F.silu(g) * u
                 acc += wts[t, j] * (h @ w2t[e])
