@@ -79,12 +79,15 @@ def aria_forward(
     cache: Optional[KVCache] = None,
     cache_pos: Optional[Array] = None,
     training: bool = False,
+    lora: Optional[dict] = None,  # {"lm": {"layers": {...}}}
+    lora_scale: float = 0.0,
 ) -> LMOutput:
     embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
     return lm_forward(
         params["lm"], cfg.text, inputs_embeds=embeds,
         positions=positions, mask=mask, cache=cache, cache_pos=cache_pos,
         training=training,
+        lora=lora["lm"] if lora is not None else None, lora_scale=lora_scale,
     )
 
 

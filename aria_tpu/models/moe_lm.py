@@ -85,6 +85,11 @@ def init_lm_params(rng: jax.Array, cfg: TextConfig, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def _lora_delta(x: Array, ab: dict, scale: float) -> Array:
+    h = jnp.einsum("...d,dr->...r", x, ab["a"])
+    return scale * jnp.einsum("...r,rf->...f", h, ab["b"]).astype(x.dtype)
+
+
 def _attention(
     layer: dict,
     cfg: TextConfig,
@@ -94,9 +99,13 @@ def _attention(
     mask: Optional[Array],
     cache_kv: Optional[tuple[Array, Array]],  # ([B, Smax, Hkv, Dh], ...)
     cache_pos: Optional[Array],  # scalar int32: write offset into the cache
+    lora: Optional[dict] = None,
+    lora_scale: float = 0.0,
 ):
     B, S, _ = x.shape
     qkv = jnp.einsum("bsd,df->bsf", x, layer["wqkv"], preferred_element_type=jnp.float32)
+    if lora and "wqkv" in lora:
+        qkv = qkv + _lora_delta(x, lora["wqkv"], lora_scale)
     qkv = qkv.astype(x.dtype)
     q_size = cfg.q_size
     kv_size = cfg.num_kv_heads * cfg.head_dim
@@ -119,11 +128,20 @@ def _attention(
 
     out = sdpa(q, k_att.astype(q.dtype), v_att.astype(q.dtype), mask)
     out = out.reshape(B, S, q_size)
-    out = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
-    return out.astype(x.dtype), new_cache
+    proj = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
+    if lora and "wo" in lora:
+        proj = proj + _lora_delta(out, lora["wo"], lora_scale)
+    return proj.astype(x.dtype), new_cache
 
 
-def _moe_ffn(layer: dict, cfg: TextConfig, x: Array, training: bool):
+def _moe_ffn(
+    layer: dict,
+    cfg: TextConfig,
+    x: Array,
+    training: bool,
+    lora: Optional[dict] = None,
+    lora_scale: float = 0.0,
+):
     """MoE FFN + shared experts (reference moe_lm.py:548-577)."""
     B, S, D = x.shape
     flat = x.reshape(-1, D)
@@ -138,7 +156,15 @@ def _moe_ffn(layer: dict, cfg: TextConfig, x: Array, training: bool):
         training=training,
     )
     args = (flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
-    if T <= GATHER_PATH_MAX_TOKENS:
+    has_expert_lora = lora is not None and ("w1" in lora or "w2" in lora)
+    if has_expert_lora:
+        # LoRA factors live inside the expert nonlinearity -> capacity path
+        # (per-expert batched GEMMs + LoRA deltas, lora/layers.py:108-152).
+        expert_out = experts_grouped(
+            *args,
+            lora_w1=lora.get("w1"), lora_w2=lora.get("w2"), lora_scale=lora_scale,
+        )
+    elif T <= GATHER_PATH_MAX_TOKENS:
         if use_pallas() and not training:  # moe_decode is fwd-only
             from aria_tpu.ops.moe_decode_kernel import moe_decode
 
@@ -151,8 +177,12 @@ def _moe_ffn(layer: dict, cfg: TextConfig, x: Array, training: bool):
         expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
 
     shared_h = jnp.einsum("td,df->tf", flat, layer["shared_w1"], preferred_element_type=jnp.float32)
+    if lora and "shared_w1" in lora:
+        shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
     shared_h = glu(shared_h.astype(x.dtype))
     shared_out = jnp.einsum("tf,fd->td", shared_h, layer["shared_w2"], preferred_element_type=jnp.float32)
+    if lora and "shared_w2" in lora:
+        shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
 
     out = expert_out + shared_out.astype(x.dtype)
     return out.reshape(B, S, D), routing.z_loss, routing.aux_loss
@@ -170,6 +200,8 @@ def lm_forward(
     cache_pos: Optional[Array] = None,  # scalar int32 write offset
     training: bool = False,
     logit_position: Optional[Array] = None,  # scalar: compute logits at this position only
+    lora: Optional[dict] = None,  # stacked-[L] adapters: {"layers": {name: {"a","b"}}}
+    lora_scale: float = 0.0,
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
@@ -187,29 +219,27 @@ def lm_forward(
         mask = (qi[None, :] <= qi[:, None])[None, None]
 
     layers = params["layers"]
+    lora_layers = lora["layers"] if lora is not None else None
 
     def body(carry, xs):
         h, zl, al = carry
-        if cache is not None:
-            layer, kc, vc = xs
-            out, (kc, vc) = _attention(layer, cfg, rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps), cos, sin, mask, (kc, vc), cache_pos)
-            ys = (kc, vc)
+        layer, lr, kv = xs
+        normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        if kv is not None:
+            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, kv, cache_pos, lr, lora_scale)
         else:
-            layer = xs
-            out, _ = _attention(layer, cfg, rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps), cos, sin, mask, None, None)
-            ys = None
+            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, None, None, lr, lora_scale)
         h = h + out
-        ffn_out, z_loss, aux_loss = _moe_ffn(layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training)
+        ffn_out, z_loss, aux_loss = _moe_ffn(
+            layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training, lr, lora_scale
+        )
         h = h + ffn_out
-        return (h, zl + z_loss, al + aux_loss), ys
+        return (h, zl + z_loss, al + aux_loss), new_kv
 
     init = (x, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
-    if cache is not None:
-        (x, z_loss, aux_loss), (new_k, new_v) = jax.lax.scan(body, init, (layers, cache.k, cache.v))
-        new_cache = KVCache(new_k, new_v)
-    else:
-        (x, z_loss, aux_loss), _ = jax.lax.scan(body, init, layers)
-        new_cache = None
+    kv_xs = (cache.k, cache.v) if cache is not None else None
+    (x, z_loss, aux_loss), new_kv = jax.lax.scan(body, init, (layers, lora_layers, kv_xs))
+    new_cache = KVCache(*new_kv) if cache is not None else None
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logit_position is not None:

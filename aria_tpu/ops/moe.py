@@ -131,12 +131,19 @@ def experts_grouped(
     w1: Array,  # [E, 2I, D]
     w2: Array,  # [E, I, D]
     capacity: Optional[int] = None,
+    lora_w1: Optional[dict] = None,  # {"a": [E, D, r], "b": [E, r, 2I]}
+    lora_w2: Optional[dict] = None,  # {"a": [E, I, r], "b": [E, r, D]}
+    lora_scale: float = 0.0,
 ) -> Array:
     """Prefill/train path: capacity dispatch + batched GEMM over experts.
 
     ``capacity=None`` defaults to T (exactly dropless, since a token can route
     to an expert at most once). Lower capacities trade dropped tokens for
     compute, like GShard's capacity factor.
+
+    Optional per-expert LoRA factors are applied inside the expert computation
+    (fc1 pre-GLU, fc2 post-GLU), matching the reference's grouped-GEMM LoRA
+    layer (aria/lora/layers.py:108-152).
     """
     T, D = x.shape
     E = w1.shape[0]
@@ -150,8 +157,14 @@ def experts_grouped(
     buf = buf[: E * C].reshape(E, C, D)
 
     h = jnp.einsum("ecd,efd->ecf", buf, w1, preferred_element_type=jnp.float32)
+    if lora_w1 is not None:
+        hr = jnp.einsum("ecd,edr->ecr", buf, lora_w1["a"])
+        h = h + lora_scale * jnp.einsum("ecr,erf->ecf", hr, lora_w1["b"])
     h = glu(h.astype(x.dtype))
     out = jnp.einsum("ecf,efd->ecd", h, w2, preferred_element_type=jnp.float32)
+    if lora_w2 is not None:
+        outr = jnp.einsum("ecf,efr->ecr", h, lora_w2["a"])
+        out = out + lora_scale * jnp.einsum("ecr,erd->ecd", outr, lora_w2["b"])
     out = out.astype(x.dtype).reshape(E * C, D)
     out = jnp.concatenate([out, jnp.zeros((1, D), x.dtype)], axis=0)
 

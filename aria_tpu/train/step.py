@@ -81,10 +81,16 @@ def _zero_frozen_layer_grads(grads: Any, tc: TrainConfig) -> Any:
     return {**grads, "lm": {**grads["lm"], "layers": lm_layers}}
 
 
+def _make_schedule(tc: TrainConfig):
+    if tc.warmup_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            0.0, tc.learning_rate, tc.warmup_steps, max(tc.total_steps, 2)
+        )
+    return optax.cosine_decay_schedule(tc.learning_rate, max(tc.total_steps, 2))
+
+
 def make_optimizer(tc: TrainConfig, params: Any) -> optax.GradientTransformation:
-    schedule = optax.warmup_cosine_decay_schedule(
-        0.0, tc.learning_rate, max(tc.warmup_steps, 1), max(tc.total_steps, 2)
-    )
+    schedule = _make_schedule(tc)
     opt = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip_norm),
         optax.adamw(schedule, b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay),
@@ -126,3 +132,48 @@ def init_train_state(params: Any, tc: TrainConfig) -> tuple[TrainState, optax.Gr
     optimizer = make_optimizer(tc, params)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), optimizer
+
+
+# ---------------------------------------------------------------- LoRA
+
+def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scale: float):
+    out = aria_forward(
+        params, cfg,
+        batch["input_ids"],
+        batch.get("pixel_values"),
+        batch.get("pixel_mask"),
+        mask=batch.get("attn_mask"),
+        training=True,
+        lora=lora, lora_scale=lora_scale,
+    )
+    losses = causal_lm_loss(out, batch["labels"])
+    return losses.loss, losses
+
+
+def lora_train_step(
+    state: TrainState, batch: dict, base_params: Any,
+    cfg: AriaConfig, lora_scale: float, optimizer,
+):
+    """One LoRA step: grads flow only into the adapter tree (base frozen),
+    matching the reference's PEFT setup (train.py:91-114)."""
+    (_, losses), grads = jax.value_and_grad(lora_loss_fn, has_aux=True)(
+        state.params, base_params, cfg, batch, lora_scale
+    )
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_lora = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": losses.loss,
+        "ce_loss": losses.ce_loss,
+        "z_loss": losses.z_loss,
+        "aux_loss": losses.aux_loss,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return TrainState(new_lora, new_opt, state.step + 1), metrics
+
+
+def make_lora_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    schedule = _make_schedule(tc)
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip_norm),
+        optax.adamw(schedule, b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay),
+    )
