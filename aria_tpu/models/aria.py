@@ -81,6 +81,7 @@ def aria_forward(
     training: bool = False,
     lora: Optional[dict] = None,  # {"lm": {"layers": {...}}}
     lora_scale: float = 0.0,
+    remat: bool = False,
 ) -> LMOutput:
     embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
     return lm_forward(
@@ -88,6 +89,7 @@ def aria_forward(
         positions=positions, mask=mask, cache=cache, cache_pos=cache_pos,
         training=training,
         lora=lora["lm"] if lora is not None else None, lora_scale=lora_scale,
+        remat=remat,
     )
 
 

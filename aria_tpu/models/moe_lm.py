@@ -202,6 +202,7 @@ def lm_forward(
     logit_position: Optional[Array] = None,  # scalar: compute logits at this position only
     lora: Optional[dict] = None,  # stacked-[L] adapters: {"layers": {name: {"a","b"}}}
     lora_scale: float = 0.0,
+    remat: bool = False,  # rematerialize each layer in backward (grad ckpt)
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
@@ -235,6 +236,9 @@ def lm_forward(
         )
         h = h + ffn_out
         return (h, zl + z_loss, al + aux_loss), new_kv
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
 
     init = (x, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
     kv_xs = (cache.k, cache.v) if cache is not None else None

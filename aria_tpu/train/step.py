@@ -41,6 +41,7 @@ class TrainConfig:
     freeze_llm: bool = False
     freeze_llm_layers: tuple[int, ...] = ()
     grad_accum_steps: int = 1
+    gradient_checkpointing: bool = False
 
 
 class TrainState(NamedTuple):
@@ -99,7 +100,7 @@ def make_optimizer(tc: TrainConfig, params: Any) -> optax.GradientTransformation
     return optax.masked(opt, mask)
 
 
-def loss_fn(params, cfg: AriaConfig, batch: dict):
+def loss_fn(params, cfg: AriaConfig, batch: dict, remat: bool = False):
     out = aria_forward(
         params, cfg,
         batch["input_ids"],
@@ -107,6 +108,7 @@ def loss_fn(params, cfg: AriaConfig, batch: dict):
         batch.get("pixel_mask"),
         mask=batch.get("attn_mask"),
         training=True,
+        remat=remat,
     )
     losses = causal_lm_loss(out, batch["labels"])
     return losses.loss, losses
@@ -114,7 +116,7 @@ def loss_fn(params, cfg: AriaConfig, batch: dict):
 
 def train_step(state: TrainState, batch: dict, cfg: AriaConfig, tc: TrainConfig, optimizer):
     """One optimizer step. jit this closed over (cfg, tc, optimizer)."""
-    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, cfg, batch)
+    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, cfg, batch, tc.gradient_checkpointing)
     grads = _zero_frozen_layer_grads(grads, tc)
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -136,7 +138,7 @@ def init_train_state(params: Any, tc: TrainConfig) -> tuple[TrainState, optax.Gr
 
 # ---------------------------------------------------------------- LoRA
 
-def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scale: float):
+def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scale: float, remat: bool = False):
     out = aria_forward(
         params, cfg,
         batch["input_ids"],
@@ -145,6 +147,7 @@ def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scal
         mask=batch.get("attn_mask"),
         training=True,
         lora=lora, lora_scale=lora_scale,
+        remat=remat,
     )
     losses = causal_lm_loss(out, batch["labels"])
     return losses.loss, losses
@@ -152,12 +155,12 @@ def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scal
 
 def lora_train_step(
     state: TrainState, batch: dict, base_params: Any,
-    cfg: AriaConfig, lora_scale: float, optimizer,
+    cfg: AriaConfig, lora_scale: float, optimizer, remat: bool = False,
 ):
     """One LoRA step: grads flow only into the adapter tree (base frozen),
     matching the reference's PEFT setup (train.py:91-114)."""
     (_, losses), grads = jax.value_and_grad(lora_loss_fn, has_aux=True)(
-        state.params, base_params, cfg, batch, lora_scale
+        state.params, base_params, cfg, batch, lora_scale, remat
     )
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_lora = optax.apply_updates(state.params, updates)
