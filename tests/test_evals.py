@@ -1,0 +1,123 @@
+"""Eval parser/metric tests with reference-derived cases, plus a runner test
+driven by a mock generate_fn."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+from aria_tpu.evals.parsers import (
+    box_iou,
+    multi_choice_score,
+    nlvr2_score,
+    parse_bbox,
+    parse_multi_choice,
+    parse_yes_no,
+    refcoco_score,
+)
+from aria_tpu.evals.runner import run_eval
+
+
+class TestRefCOCO:
+    def test_parse_bbox(self):
+        assert parse_bbox("the box is (100,200),(300,400)") == (100, 200, 300, 400)
+        assert parse_bbox("no box here") == (0, 0, 0, 0)
+        assert parse_bbox("(1020),(3040)") == (0, 0, 0, 0)  # no commas inside
+
+    def test_box_iou(self):
+        a = np.array([0, 0, 10, 10], np.float32)
+        assert box_iou(a, a) == 1.0
+        b = np.array([5, 5, 15, 15], np.float32)
+        assert abs(box_iou(a, b) - 25 / 175) < 1e-6
+        c = np.array([20, 20, 30, 30], np.float32)
+        assert box_iou(a, c) == 0.0
+
+    def test_score_with_999_normalization(self):
+        # pred (0,0),(999,999) over a 100x200 image == full-image box
+        results = [{
+            "pred": "(0,0),(999,999)",
+            "bbox": [0, 0, 200, 100],
+            "hw": (100, 200),
+        }]
+        assert refcoco_score(results)["precision@1"] == 100.0
+
+    def test_score_miss(self):
+        results = [{"pred": "(0,0),(10,10)", "bbox": [150, 80, 200, 100], "hw": (100, 200)}]
+        assert refcoco_score(results)["precision@1"] == 0.0
+
+
+class TestNLVR2:
+    @pytest.mark.parametrize("pred,expected", [
+        ("Yes", "yes"), ("no.", "no"), ("y", "yes"), ("n", "no"),
+        ("Yes, the image shows...", "yes"), ("Nope", "no"), ("maybe", "other"),
+        ("x", "other"),
+    ])
+    def test_parse(self, pred, expected):
+        assert parse_yes_no(pred) == expected
+
+    def test_score(self):
+        res = [{"pred": "Yes", "gt": "yes"}, {"pred": "no way", "gt": "yes"}]
+        assert nlvr2_score(res)["acc"] == 50.0
+
+
+class TestNextQA:
+    CHOICES = ["A", "B", "C", "D"]
+    I2A = {"A": "a dog", "B": "a cat", "C": "a bird", "D": "a fish"}
+
+    def test_bracketed(self):
+        assert parse_multi_choice("the answer is (B)", self.CHOICES, self.I2A) == "B"
+
+    def test_bare_letter(self):
+        assert parse_multi_choice("C is correct", self.CHOICES, self.I2A) == "C"
+
+    def test_dotted(self):
+        assert parse_multi_choice("D.", self.CHOICES, self.I2A) == "D"
+
+    def test_content_match(self):
+        out = parse_multi_choice(
+            "the video clearly shows a cat playing with yarn", self.CHOICES, self.I2A
+        )
+        assert out == "B"
+
+    def test_multiple_candidates_takes_last(self):
+        assert parse_multi_choice("(A) no wait (C)", self.CHOICES, self.I2A) == "C"
+
+    def test_fallback_random_is_deterministic_with_rng(self):
+        rng = random.Random(0)
+        out = parse_multi_choice("???", self.CHOICES, self.I2A, rng)
+        assert out in self.CHOICES
+
+    def test_score_list_gold(self):
+        res = [{"pred": "A", "gt": ["A", "B"]}, {"pred": "C", "gt": "D"}]
+        assert multi_choice_score(res)["acc"] == 0.5
+
+
+class TestRunner:
+    def _dataset(self, tmp_path, rows):
+        d = tmp_path / "ds"
+        d.mkdir()
+        with open(d / "train.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(d)
+
+    def test_nlvr2_runner_with_mock_model(self, tmp_path):
+        rows = [
+            {"messages": [
+                {"role": "user", "content": [{"type": "text", "text": "is it red?"}]},
+                {"role": "assistant", "content": [{"type": "text", "text": "yes"}]},
+            ], "images": None, "video": None},
+            {"messages": [
+                {"role": "user", "content": [{"type": "text", "text": "is it blue?"}]},
+                {"role": "assistant", "content": [{"type": "text", "text": "no"}]},
+            ], "images": None, "video": None},
+        ]
+        ds = self._dataset(tmp_path, rows)
+
+        def mock_gen(prompt, images):
+            assert prompt.endswith("<|im_start|>assistant\n")
+            return "yes" if "red" in prompt else "maybe"
+
+        metrics = run_eval("nlvr2", ds, mock_gen)
+        assert metrics["acc"] == 50.0
