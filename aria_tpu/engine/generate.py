@@ -92,6 +92,7 @@ class Engine:
                 positions=jnp.arange(S), mask=mask,
                 cache=cache, cache_pos=jnp.int32(0),
                 logit_position=true_len - 1,
+                causal_flash=True,  # prefill-from-0: flash over the prompt block
             )
             next_tok = sample(rng, out.logits[:, 0], temperature, top_k)
             return next_tok, out.cache

@@ -101,6 +101,7 @@ def _attention(
     cache_pos: Optional[Array],  # scalar int32: write offset into the cache
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
 ):
     B, S, _ = x.shape
     qkv = jnp.einsum("bsd,df->bsf", x, layer["wqkv"], preferred_element_type=jnp.float32)
@@ -118,15 +119,30 @@ def _attention(
 
     if cache_kv is not None:
         k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_pos, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_pos, axis=1)
+        if cache_pos.ndim == 0:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_pos, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_pos, axis=1)
+        else:
+            # per-lane write offsets (continuous batching): cache_pos [B]
+            rows = jnp.arange(B)[:, None]
+            cols = cache_pos[:, None] + jnp.arange(S)[None, :]
+            k_cache = k_cache.at[rows, cols].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, cols].set(v.astype(v_cache.dtype))
         k_att, v_att = k_cache, v_cache
         new_cache = (k_cache, v_cache)
     else:
         k_att, v_att = k, v
         new_cache = None
 
-    out = sdpa(q, k_att.astype(q.dtype), v_att.astype(q.dtype), mask)
+    if use_flash:
+        # Causal attention within the current block: for a from-zero prefill
+        # this equals attending over the cache prefix (kv <= qi < S), so the
+        # cache is written but not read.
+        from aria_tpu.ops.flash import flash_sdpa
+
+        out = flash_sdpa(q, k, v, causal=True)
+    else:
+        out = sdpa(q, k_att.astype(q.dtype), v_att.astype(q.dtype), mask)
     out = out.reshape(B, S, q_size)
     proj = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
     if lora and "wo" in lora:
@@ -203,6 +219,7 @@ def lm_forward(
     lora: Optional[dict] = None,  # stacked-[L] adapters: {"layers": {name: {"a","b"}}}
     lora_scale: float = 0.0,
     remat: bool = False,  # rematerialize each layer in backward (grad ckpt)
+    causal_flash: Optional[bool] = None,  # caller asserts pure-causal-from-0 attention
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
@@ -222,14 +239,18 @@ def lm_forward(
     layers = params["layers"]
     lora_layers = lora["layers"] if lora is not None else None
 
+    if causal_flash is None:
+        causal_flash = mask is None and cache is None
+    use_flash = use_pallas() and S > 1 and causal_flash
+
     def body(carry, xs):
         h, zl, al = carry
         layer, lr, kv = xs
         normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         if kv is not None:
-            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, kv, cache_pos, lr, lora_scale)
+            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, kv, cache_pos, lr, lora_scale, use_flash)
         else:
-            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, None, None, lr, lora_scale)
+            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, None, None, lr, lora_scale, use_flash)
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(
             layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training, lr, lora_scale

@@ -1,0 +1,78 @@
+"""Continuous-batching engine tests: batched decode must reproduce the
+single-sequence engine's greedy outputs exactly, with requests joining and
+leaving mid-flight."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aria_tpu.config import AriaConfig
+from aria_tpu.engine.generate import Engine, GenerationConfig
+from aria_tpu.engine.server import BatchedEngine
+from aria_tpu.models.aria import init_aria_params
+
+TINY = AriaConfig.tiny()
+
+
+def make_params():
+    return init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+
+
+class TestBatchedEngine:
+    def test_batched_matches_single_sequence_greedy(self):
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        server = BatchedEngine(
+            params, TINY, max_lanes=3, max_seq_len=128,
+            temperature=0.0, decode_chunk=4, cache_dtype=jnp.float32,
+        )
+
+        prompts = [[5, 17, 3], [9, 9, 200, 41, 7], [100, 2]]
+        n_new = 8
+        expected = [
+            single.generate(
+                p, GenerationConfig(max_new_tokens=n_new, temperature=0.0, top_k=None)
+            ).tokens
+            for p in prompts
+        ]
+
+        uids = [server.submit(p, max_new_tokens=n_new) for p in prompts]
+        finished = server.run_until_complete()
+        assert len(finished) == 3
+        by_uid = {r.uid: r for r in finished}
+        for uid, exp in zip(uids, expected):
+            assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
+
+    def test_more_requests_than_lanes(self):
+        params = make_params()
+        server = BatchedEngine(
+            params, TINY, max_lanes=2, max_seq_len=128,
+            temperature=0.0, decode_chunk=2, cache_dtype=jnp.float32,
+        )
+        for i in range(5):
+            server.submit([3 + i, 7, 11], max_new_tokens=4)
+        finished = server.run_until_complete()
+        assert len(finished) == 5
+        assert all(len(r.generated) == 4 for r in finished)
+
+    def test_oversized_request_reports_error(self):
+        params = make_params()
+        server = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=64,
+                               cache_dtype=jnp.float32)
+        server.submit(list(range(60)), max_new_tokens=50)
+        finished = server.run_until_complete()
+        assert len(finished) == 1
+        assert finished[0].error is not None
+
+    def test_stop_tokens_respected(self):
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        g = single.generate([5, 17, 3], GenerationConfig(max_new_tokens=6, temperature=0.0, top_k=None))
+        stop = g.tokens[2]
+
+        server = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=128,
+                               temperature=0.0, decode_chunk=2, cache_dtype=jnp.float32)
+        server.submit([5, 17, 3], max_new_tokens=6, stop_token_ids=(stop,))
+        finished = server.run_until_complete()
+        assert finished[0].generated[-1] == stop
+        assert len(finished[0].generated) <= 3
