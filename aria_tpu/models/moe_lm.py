@@ -97,8 +97,9 @@ def _attention(
     cos: Array,
     sin: Array,
     mask: Optional[Array],
-    cache_kv: Optional[tuple[Array, Array]],  # ([B, Smax, Hkv, Dh], ...)
-    cache_pos: Optional[Array],  # scalar int32: write offset into the cache
+    cache_kv: Optional[tuple[Array, Array]],  # full stacked ([L, B, Smax, Hkv, Dh], ...)
+    cache_pos: Optional[Array],  # scalar (or [B]) write offset into the cache
+    layer_idx: Optional[Array] = None,  # scalar int32: which layer's cache plane
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
@@ -118,18 +119,25 @@ def _attention(
     k = apply_rope(k, cos, sin)
 
     if cache_kv is not None:
+        # The FULL stacked cache rides the scan carry; only this layer's tiny
+        # new k/v block is scattered in (in-place on the donated carry). This
+        # avoids per-layer dynamic-slice/update copies of whole cache planes
+        # that scanning the cache through xs/ys would incur.
         k_cache, v_cache = cache_kv
         if cache_pos.ndim == 0:
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k.astype(k_cache.dtype), cache_pos, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v.astype(v_cache.dtype), cache_pos, axis=1)
+            start = (layer_idx, 0, cache_pos, 0, 0)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k[None].astype(k_cache.dtype), start)
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v[None].astype(v_cache.dtype), start)
         else:
             # per-lane write offsets (continuous batching): cache_pos [B]
             rows = jnp.arange(B)[:, None]
             cols = cache_pos[:, None] + jnp.arange(S)[None, :]
-            k_cache = k_cache.at[rows, cols].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[rows, cols].set(v.astype(v_cache.dtype))
-        k_att, v_att = k_cache, v_cache
+            k_cache = k_cache.at[layer_idx, rows, cols].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[layer_idx, rows, cols].set(v.astype(v_cache.dtype))
         new_cache = (k_cache, v_cache)
+        if not use_flash:
+            k_att = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+            v_att = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
     else:
         k_att, v_att = k, v
         new_cache = None
@@ -243,28 +251,46 @@ def lm_forward(
         causal_flash = mask is None and cache is None
     use_flash = use_pallas() and S > 1 and causal_flash
 
+    has_cache = cache is not None
+
     def body(carry, xs):
-        h, zl, al = carry
-        layer, lr, kv = xs
-        normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
-        if kv is not None:
-            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, kv, cache_pos, lr, lora_scale, use_flash)
+        if has_cache:
+            h, zl, al, kc, vc = carry
+            layer, lr, l_idx = xs
+            kv, pos = (kc, vc), cache_pos
         else:
-            out, new_kv = _attention(layer, cfg, normed, cos, sin, mask, None, None, lr, lora_scale, use_flash)
+            h, zl, al = carry
+            layer, lr, l_idx = xs
+            kv, pos = None, None
+        normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+        out, new_kv = _attention(
+            layer, cfg, normed, cos, sin, mask, kv, pos, l_idx, lr, lora_scale, use_flash
+        )
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(
             layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training, lr, lora_scale
         )
         h = h + ffn_out
-        return (h, zl + z_loss, al + aux_loss), new_kv
+        if has_cache:
+            return (h, zl + z_loss, al + aux_loss, new_kv[0], new_kv[1]), None
+        return (h, zl + z_loss, al + aux_loss), None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
 
-    init = (x, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
-    kv_xs = (cache.k, cache.v) if cache is not None else None
-    (x, z_loss, aux_loss), new_kv = jax.lax.scan(body, init, (layers, lora_layers, kv_xs))
-    new_cache = KVCache(*new_kv) if cache is not None else None
+    zero = jnp.zeros((), jnp.float32)
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    if has_cache:
+        init = (x, zero, zero, cache.k, cache.v)
+        (x, z_loss, aux_loss, new_k, new_v), _ = jax.lax.scan(
+            body, init, (layers, lora_layers, layer_ids)
+        )
+        new_cache = KVCache(new_k, new_v)
+    else:
+        (x, z_loss, aux_loss), _ = jax.lax.scan(
+            body, (x, zero, zero), (layers, lora_layers, layer_ids)
+        )
+        new_cache = None
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logit_position is not None:
