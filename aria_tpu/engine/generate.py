@@ -84,7 +84,7 @@ class Engine:
                     pixel_mask=None, *, temperature, top_k):
             B, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
-            kv_pos = jnp.arange(cache.k.shape[2])
+            kv_pos = jnp.arange(cache.k.shape[3])
             qi = jnp.arange(S)
             mask = (kv_pos[None, :] <= qi[:, None])[None, None]
             out = lm_forward(
@@ -107,7 +107,7 @@ class Engine:
             jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
         )
         def decode_n(params, first_token, cache, start_pos, rng, *, n_steps, temperature, top_k):
-            kv_pos = jnp.arange(cache.k.shape[2])
+            kv_pos = jnp.arange(cache.k.shape[3])
 
             def step(carry, i):
                 tok, cache, pos = carry

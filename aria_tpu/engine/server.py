@@ -92,7 +92,7 @@ class BatchedEngine:
                 jax.lax.dynamic_slice_in_dim(cache.k, lane, 1, axis=1),
                 jax.lax.dynamic_slice_in_dim(cache.v, lane, 1, axis=1),
             )
-            kv_pos = jnp.arange(lane_cache.k.shape[2])
+            kv_pos = jnp.arange(lane_cache.k.shape[3])
             qi = jnp.arange(S)
             mask = (kv_pos[None, :] <= qi[:, None])[None, None]
             out = lm_forward(
@@ -116,7 +116,7 @@ class BatchedEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pos, active, rng, *, n_steps):
-            kv_pos = jnp.arange(cache.k.shape[2])
+            kv_pos = jnp.arange(cache.k.shape[3])
 
             def step(carry, i):
                 toks, cache, pos = carry

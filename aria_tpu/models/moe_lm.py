@@ -40,15 +40,22 @@ GATHER_PATH_MAX_TOKENS = 32
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache: [L, B, S_max, H_kv, D_head]."""
+    """Static-shape KV cache: [L, B, H_kv, S_max, D_head].
+
+    (S, D) minor means every (head, position-block) tile is contiguous — the
+    layout the Pallas decode-attention kernel streams directly from HBM."""
 
     k: Array
     v: Array
 
     @staticmethod
     def init(cfg: TextConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[3]
 
 
 class LMOutput(NamedTuple):
@@ -119,27 +126,28 @@ def _attention(
     k = apply_rope(k, cos, sin)
 
     if cache_kv is not None:
-        # The FULL stacked cache rides the scan carry; only this layer's tiny
-        # new k/v block is scattered in (in-place on the donated carry). This
-        # avoids per-layer dynamic-slice/update copies of whole cache planes
-        # that scanning the cache through xs/ys would incur.
+        # The FULL stacked [L, B, H, S, D] cache rides the scan carry; only
+        # this layer's tiny new k/v block is scattered in (in-place on the
+        # donated carry). Streaming the cache through scan xs/ys instead
+        # costs a full-plane dynamic-slice copy per layer per step.
         k_cache, v_cache = cache_kv
+        k_t = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, H, S, D]
+        v_t = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
         if cache_pos.ndim == 0:
-            start = (layer_idx, 0, cache_pos, 0, 0)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k[None].astype(k_cache.dtype), start)
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v[None].astype(v_cache.dtype), start)
+            start = (layer_idx, 0, 0, cache_pos, 0)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], start)
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], start)
+            lengths = jnp.full((B,), cache_pos + S, jnp.int32)
         else:
             # per-lane write offsets (continuous batching): cache_pos [B]
-            rows = jnp.arange(B)[:, None]
-            cols = cache_pos[:, None] + jnp.arange(S)[None, :]
-            k_cache = k_cache.at[layer_idx, rows, cols].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[layer_idx, rows, cols].set(v.astype(v_cache.dtype))
+            bi = jnp.arange(B)[:, None, None]
+            hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
+            si = (cache_pos[:, None] + jnp.arange(S)[None, :])[:, None, :]
+            k_cache = k_cache.at[layer_idx, bi, hi, si].set(k_t)
+            v_cache = v_cache.at[layer_idx, bi, hi, si].set(v_t)
+            lengths = cache_pos + S
         new_cache = (k_cache, v_cache)
-        if not use_flash:
-            k_att = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
-            v_att = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
     else:
-        k_att, v_att = k, v
         new_cache = None
 
     if use_flash:
@@ -149,8 +157,23 @@ def _attention(
         from aria_tpu.ops.flash import flash_sdpa
 
         out = flash_sdpa(q, k, v, causal=True)
+    elif cache_kv is not None and S == 1 and use_pallas():
+        from aria_tpu.ops.decode_attention import decode_attention
+
+        out = decode_attention(
+            q[:, 0], k_cache, v_cache, layer_idx, lengths
+        )[:, None]  # [B, 1, H, D]
+    elif cache_kv is not None:
+        k_att = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+        v_att = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+        out = sdpa(
+            q,
+            k_att.transpose(0, 2, 1, 3).astype(q.dtype),
+            v_att.transpose(0, 2, 1, 3).astype(q.dtype),
+            mask,
+        )
     else:
-        out = sdpa(q, k_att.astype(q.dtype), v_att.astype(q.dtype), mask)
+        out = sdpa(q, k, v, mask)
     out = out.reshape(B, S, q_size)
     proj = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
     if lora and "wo" in lora:

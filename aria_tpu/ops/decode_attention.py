@@ -1,0 +1,115 @@
+"""Pallas decode attention over the stacked KV cache.
+
+Single-token attention for the decode loop that reads each layer's cache
+plane straight out of the stacked ``[L, B, H, S, D]`` buffers via a
+scalar-prefetched layer index — no dynamic-slice materialization of cache
+planes (the XLA path costs a full-plane copy per layer per step).
+
+Online-softmax accumulation over S blocks, with per-lane lengths masking
+(kv position < length). This is the TPU replacement for the reference's
+per-step SDPA over the static cache (gptfast/model.py:434-443).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [H, D] (pre-scaled)
+    k_blk = k_ref[0, 0]  # [H, BS, D]
+    v_blk = v_ref[0, 0]  # [H, BS, D]
+    H, BS, D = k_blk.shape
+
+    scores = jax.lax.dot_general(
+        q, k_blk, (((1,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [H, BS]
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
+    scores = jnp.where(kv_idx < len_ref[b], scores, NEG_INF)
+
+    m_prev = m_ref[:, 0:1]  # [H, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)  # [H, BS]
+    s_new = s_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, D]
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def decode_attention(
+    q: Array,  # [B, H, D] current token's queries (unscaled)
+    k_cache: Array,  # [L, B, H, S, D]
+    v_cache: Array,  # [L, B, H, S, D]
+    layer_idx: Array,  # scalar int32
+    lengths: Array,  # [B] int32: attend to kv positions < length
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Returns [B, H, D] attention outputs."""
+    B, H, D = q.shape
+    L, _, _, S, _ = k_cache.shape
+    bs = min(block_s, S)
+    assert S % bs == 0
+    n_s = S // bs
+
+    scale = 1.0 / (D**0.5)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_s),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),  # running max (col 0 used)
+            pltpu.VMEM((H, 128), jnp.float32),  # running denom
+            pltpu.VMEM((H, D), jnp.float32),  # output accumulator
+        ],
+    )
+
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), lengths.astype(jnp.int32),
+      q, k_cache, v_cache)
