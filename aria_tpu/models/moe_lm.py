@@ -186,10 +186,18 @@ def _moe_ffn(
     cfg: TextConfig,
     x: Array,
     training: bool,
+    w1_full: Array,  # [L, E, 2I, D] — full stack, NOT scan-sliced
+    w2_full: Array,  # [L, E, I, D]
+    layer_idx: Array,
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
 ):
-    """MoE FFN + shared experts (reference moe_lm.py:548-577)."""
+    """MoE FFN + shared experts (reference moe_lm.py:548-577).
+
+    The expert weight stacks are passed whole: the Pallas decode kernel
+    indexes (layer, expert) inside its BlockSpecs, so only the routed tiles
+    ever move; slicing them per layer in the scan would materialize 100s of
+    MB per layer per step as pallas-call operands."""
     B, S, D = x.shape
     flat = x.reshape(-1, D)
     T = flat.shape[0]
@@ -202,26 +210,39 @@ def _moe_ffn(
         aux_loss_coeff=cfg.moe_aux_loss_coeff,
         training=training,
     )
-    args = (flat, routing.indices, routing.weights, layer["w1"], layer["w2"])
     has_expert_lora = lora is not None and ("w1" in lora or "w2" in lora)
-    if has_expert_lora:
-        # LoRA factors live inside the expert nonlinearity -> capacity path
-        # (per-expert batched GEMMs + LoRA deltas, lora/layers.py:108-152).
-        expert_out = experts_grouped(
-            *args,
-            lora_w1=lora.get("w1"), lora_w2=lora.get("w2"), lora_scale=lora_scale,
-        )
-    elif T <= GATHER_PATH_MAX_TOKENS:
-        if use_pallas() and not training:  # moe_decode is fwd-only
-            from aria_tpu.ops.moe_decode_kernel import moe_decode
+    use_decode_kernel = (
+        T <= GATHER_PATH_MAX_TOKENS and use_pallas() and not training
+        and not has_expert_lora
+    )
+    if use_decode_kernel:
+        from aria_tpu.ops.moe_decode_kernel import moe_decode
 
-            I = cfg.moe_intermediate_size
-            ft = next((f for f in (512, 256, 128) if I % f == 0), None)
-            expert_out = moe_decode(*args, ft=ft) if ft else experts_gather(*args)
+        I = cfg.moe_intermediate_size
+        ft = next((f for f in (512, 256, 128) if I % f == 0), None)
+        if ft:
+            expert_out = moe_decode(
+                flat, routing.indices, routing.weights, w1_full, w2_full,
+                layer_idx, ft=ft,
+            )
+            use_decode_kernel = True
         else:
+            use_decode_kernel = False
+    if not use_decode_kernel:
+        w1 = jax.lax.dynamic_index_in_dim(w1_full, layer_idx, 0, keepdims=False)
+        w2 = jax.lax.dynamic_index_in_dim(w2_full, layer_idx, 0, keepdims=False)
+        args = (flat, routing.indices, routing.weights, w1, w2)
+        if has_expert_lora:
+            # LoRA factors live inside the expert nonlinearity -> capacity path
+            # (per-expert batched GEMMs + LoRA deltas, lora/layers.py:108-152).
+            expert_out = experts_grouped(
+                *args,
+                lora_w1=lora.get("w1"), lora_w2=lora.get("w2"), lora_scale=lora_scale,
+            )
+        elif T <= GATHER_PATH_MAX_TOKENS:
             expert_out = experts_gather(*args)
-    else:
-        expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
+        else:
+            expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
 
     shared_h = jnp.einsum("td,df->tf", flat, layer["shared_w1"], preferred_element_type=jnp.float32)
     if lora and "shared_w1" in lora:
@@ -268,6 +289,9 @@ def lm_forward(
         mask = (qi[None, :] <= qi[:, None])[None, None]
 
     layers = params["layers"]
+    # Expert stacks stay OUT of the scan xs (see _moe_ffn docstring).
+    xs_layers = {k: v for k, v in layers.items() if k not in ("w1", "w2")}
+    w1_full, w2_full = layers["w1"], layers["w2"]
     lora_layers = lora["layers"] if lora is not None else None
 
     if causal_flash is None:
@@ -291,7 +315,8 @@ def lm_forward(
         )
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(
-            layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training, lr, lora_scale
+            layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training,
+            w1_full, w2_full, l_idx, lr, lora_scale,
         )
         h = h + ffn_out
         if has_cache:
@@ -306,12 +331,12 @@ def lm_forward(
     if has_cache:
         init = (x, zero, zero, cache.k, cache.v)
         (x, z_loss, aux_loss, new_k, new_v), _ = jax.lax.scan(
-            body, init, (layers, lora_layers, layer_ids)
+            body, init, (xs_layers, lora_layers, layer_ids)
         )
         new_cache = KVCache(new_k, new_v)
     else:
         (x, z_loss, aux_loss), _ = jax.lax.scan(
-            body, (x, zero, zero), (layers, lora_layers, layer_ids)
+            body, (x, zero, zero), (xs_layers, lora_layers, layer_ids)
         )
         new_cache = None
 

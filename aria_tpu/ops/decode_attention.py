@@ -39,9 +39,11 @@ def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref)
     v_blk = v_ref[0, 0]  # [H, BS, D]
     H, BS, D = k_blk.shape
 
-    scores = jax.lax.dot_general(
-        q, k_blk, (((1,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [H, BS]
+    # Batched-per-head contractions as multiply+reduce on the VPU (Mosaic
+    # cannot lower batched dot_general inside a kernel; decode attention is
+    # HBM-bandwidth-bound so the VPU is not the bottleneck).
+    qf = q.astype(jnp.float32)[:, None, :]  # [H, 1, D]
+    scores = jnp.sum(qf * k_blk.astype(jnp.float32), axis=2)  # [H, BS]
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
     scores = jnp.where(kv_idx < len_ref[b], scores, NEG_INF)
 
@@ -50,10 +52,7 @@ def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref)
     corr = jnp.exp(m_prev - m_new)
     p = jnp.exp(scores - m_new)  # [H, BS]
     s_new = s_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [H, D]
+    pv = jnp.sum(p[:, :, None] * v_blk.astype(jnp.float32), axis=1)  # [H, D]
     acc_ref[:] = acc_ref[:] * corr + pv
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)

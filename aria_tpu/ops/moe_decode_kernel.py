@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 _CONTRACT_LAST = (((1,), (1,)), ((), ()))  # x[1,D] . w[ft,D] -> [1,ft]
 
 
-def _kernel(idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
+def _kernel(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
     t = pl.program_id(0)
     s = pl.program_id(1)
     f = pl.program_id(2)
@@ -41,14 +41,14 @@ def _kernel(idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
 
     x = x_ref[:]  # [1, D]
     gate = jax.lax.dot_general(
-        x, w1g_ref[0], _CONTRACT_LAST, preferred_element_type=jnp.float32
+        x, w1g_ref[0, 0], _CONTRACT_LAST, preferred_element_type=jnp.float32
     )  # [1, FT]
     up = jax.lax.dot_general(
-        x, w1u_ref[0], _CONTRACT_LAST, preferred_element_type=jnp.float32
+        x, w1u_ref[0, 0], _CONTRACT_LAST, preferred_element_type=jnp.float32
     )
     h = (gate * jax.lax.logistic(gate)) * up  # silu(gate) * up, fp32
     partial = jnp.dot(
-        h.astype(x.dtype), w2_ref[0], preferred_element_type=jnp.float32
+        h.astype(x.dtype), w2_ref[0, 0], preferred_element_type=jnp.float32
     )  # [1, D]
     out_ref[:] += w_ref[t, s] * partial
 
@@ -58,44 +58,54 @@ def moe_decode(
     x: Array,  # [T, D]
     indices: Array,  # [T, k] int32
     weights: Array,  # [T, k] fp32/bf16
-    w1: Array,  # [E, 2I, D] out-major
-    w2: Array,  # [E, I, D]
+    w1: Array,  # [L, E, 2I, D] out-major, FULL layer stack
+    w2: Array,  # [L, E, I, D]
+    layer_idx: Array = None,  # scalar int32 into the leading L axis
     *,
     ft: int = 256,
     interpret: bool = False,
 ) -> Array:
+    """Weights are passed as the FULL layer stack and indexed inside the
+    BlockSpec index maps: a pallas call is opaque to XLA, so handing it a
+    scan-sliced per-layer weight would materialize a full copy of that
+    layer's experts every call. Indexing (layer, expert) in the index map
+    makes the pipeline DMA only the needed tiles."""
     T, D = x.shape
     k = indices.shape[1]
-    E, I2, _ = w1.shape
+    if w1.ndim == 3:  # single-layer convenience form
+        w1, w2 = w1[None], w2[None]
+        layer_idx = jnp.int32(0)
+    L, E, I2, _ = w1.shape
     I = I2 // 2
     assert I % ft == 0, f"moe intermediate {I} must be divisible by tile {ft}"
     nf = I // ft
 
     idx_flat = indices.reshape(-1).astype(jnp.int32)
+    l_arr = jnp.atleast_1d(layer_idx).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T, k, nf),
         in_specs=[
-            pl.BlockSpec((1, D), lambda t, s, f, idx: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda t, s, f, l, idx: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k], unblocked
-            # gate rows: w1[e, f*ft:(f+1)*ft, :]
+            # gate rows: w1[l, e, f*ft:(f+1)*ft, :]
             pl.BlockSpec(
-                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], f, 0),
+                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # up rows: w1[e, I + f*ft : I + (f+1)*ft, :]
+            # up rows: w1[l, e, I + f*ft : I + (f+1)*ft, :]
             pl.BlockSpec(
-                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], nf + f, 0),
+                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], nf + f, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # w2 rows: w2[e, f*ft:(f+1)*ft, :]
+            # w2 rows: w2[l, e, f*ft:(f+1)*ft, :]
             pl.BlockSpec(
-                (1, ft, D), lambda t, s, f, idx: (idx[t * k + s], f, 0),
+                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda t, s, f, idx: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, D), lambda t, s, f, l, idx: (t, 0), memory_space=pltpu.VMEM),
     )
 
     out = pl.pallas_call(
@@ -111,6 +121,6 @@ def moe_decode(
             transcendentals=T * k * I,
         ),
         interpret=interpret,
-    )(idx_flat, x, weights.astype(jnp.float32).reshape(T, k), w1, w1, w2)
+    )(l_arr, idx_flat, x, weights.astype(jnp.float32).reshape(T, k), w1, w1, w2)
 
     return out.astype(x.dtype)
