@@ -17,9 +17,17 @@ from jax import Array
 NEG_INF = -1e30
 
 
-def filter_top_k(logits: Array, top_k: int) -> Array:
-    """Keep the top-k logits, set the rest to -inf. logits: [..., V]."""
-    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+def filter_top_k(logits: Array, top_k: int, *, exact: bool = False) -> Array:
+    """Keep the top-k logits, set the rest to -inf. logits: [..., V].
+
+    By default uses the TPU-native ``approx_max_k`` to find the k-th value
+    (a full sort over a 100k vocab costs ~1ms/step on v5e); recall target
+    0.99 keeps the cutoff within noise for sampling purposes.
+    """
+    if exact:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    else:
+        kth = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
