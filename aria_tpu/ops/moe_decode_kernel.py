@@ -35,11 +35,17 @@ def _kernel(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
     s = pl.program_id(1)
     f = pl.program_id(2)
 
-    @pl.when(jnp.logical_and(s == 0, f == 0))
+    # x/out are unblocked [T, D] buffers (T is small and not tile-aligned);
+    # Mosaic requires 8-aligned sublane slicing, so row t is selected and
+    # accumulated via an iota mask instead of a dynamic slice.
+    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(s == 0, f == 0)))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = x_ref[:]  # [1, D]
+    x_all = x_ref[:]  # [T, D]
+    T, D = x_all.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
+    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
     gate = jax.lax.dot_general(
         x, w1g_ref[0, 0], _CONTRACT_LAST, preferred_element_type=jnp.float32
     )  # [1, FT]
@@ -50,7 +56,7 @@ def _kernel(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
     partial = jnp.dot(
         h.astype(x.dtype), w2_ref[0, 0], preferred_element_type=jnp.float32
     )  # [1, D]
-    out_ref[:] += w_ref[t, s] * partial
+    out_ref[:] += jnp.where(row_ids == t, w_ref[t, s] * partial, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("ft", "interpret"))
@@ -87,7 +93,7 @@ def moe_decode(
         num_scalar_prefetch=2,
         grid=(T, k, nf),
         in_specs=[
-            pl.BlockSpec((1, D), lambda t, s, f, l, idx: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
             pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k], unblocked
             # gate rows: w1[l, e, f*ft:(f+1)*ft, :]
             pl.BlockSpec(
@@ -105,7 +111,7 @@ def moe_decode(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda t, s, f, l, idx: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out [T, D], unblocked
     )
 
     out = pl.pallas_call(
