@@ -101,6 +101,31 @@ def keep_ratio_resize_and_pixel_mask(
 _split_image_fn = split_image  # the __call__ kwarg below shadows the name
 
 
+def _native_available() -> bool:
+    try:
+        from aria_tpu.data import native_ops
+
+        return native_ops.available()
+    except Exception:
+        return False
+
+
+def _native_resize_normalize(img: Image.Image, max_size: int, min_size: int,
+                             mean, std):
+    """C++ path: bicubic resize (bit-exact with PIL) + fused pad/normalize."""
+    from aria_tpu.data import native_ops
+
+    img = img.convert("RGB")
+    scale = max_size / max(img.size)
+    w, h = img.size
+    if w >= h:
+        new_w, new_h = max_size, max(int(h * scale), min_size)
+    else:
+        new_w, new_h = max(int(w * scale), min_size), max_size
+    resized = native_ops.resize_bicubic(np.asarray(img, np.uint8), new_h, new_w)
+    return native_ops.pad_normalize_chw(resized, max_size, mean, std)
+
+
 @dataclasses.dataclass
 class ImageBatch:
     pixel_values: np.ndarray  # [N, 3, S, S] float32, normalized
@@ -138,14 +163,21 @@ class AriaVisionProcessor:
         if isinstance(images, Image.Image):
             images = [images]
 
+        use_native = _native_available()
+        mean3 = tuple(float(v) for v in self.image_mean.reshape(-1))
+        std3 = tuple(float(v) for v in self.image_std.reshape(-1))
+
         pixel_values, pixel_masks, num_crops = [], [], []
         for image in images:
             crops = _split_image_fn(image, split_image, split_ratios, max_size)
             num_crops.append(len(crops))
             for crop in crops:
-                padded, mask = keep_ratio_resize_and_pixel_mask(crop, max_size, min_size)
-                arr = np.asarray(padded, np.float32).transpose(2, 0, 1) / 255.0
-                arr = (arr - self.image_mean) / self.image_std
+                if use_native:
+                    arr, mask = _native_resize_normalize(crop, max_size, min_size, mean3, std3)
+                else:
+                    padded, mask = keep_ratio_resize_and_pixel_mask(crop, max_size, min_size)
+                    arr = np.asarray(padded, np.float32).transpose(2, 0, 1) / 255.0
+                    arr = (arr - self.image_mean) / self.image_std
                 pixel_values.append(arr)
                 pixel_masks.append(mask)
 
