@@ -60,7 +60,7 @@ def prepare_embeddings(
     pixel_values: Optional[Array] = None,
     pixel_mask: Optional[Array] = None,
 ) -> Array:
-    embeds = params["lm"]["embed"][tokens].astype(params["lm"]["lm_head"].dtype)
+    embeds = params["lm"]["embed"][tokens]
     if pixel_values is not None:
         feats = encode_images(params, cfg, pixel_values, pixel_mask)
         embeds = scatter_image_features(embeds, tokens, feats, cfg.image_token_id)

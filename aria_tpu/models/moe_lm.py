@@ -32,6 +32,7 @@ from aria_tpu.ops.moe import (
     route_topk,
 )
 from aria_tpu.ops.norms import rms_norm
+from aria_tpu.ops.quant import dequantize_expert_weights, is_quantized, linear as qlinear
 from aria_tpu.ops.rope import apply_rope, precompute_rope
 
 # Below this many tokens the gathered-weights decode path beats the
@@ -112,7 +113,7 @@ def _attention(
     use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
 ):
     B, S, _ = x.shape
-    qkv = jnp.einsum("bsd,df->bsf", x, layer["wqkv"], preferred_element_type=jnp.float32)
+    qkv = qlinear(x, layer["wqkv"], "bsd,df->bsf")
     if lora and "wqkv" in lora:
         qkv = qkv + _lora_delta(x, lora["wqkv"], lora_scale)
     qkv = qkv.astype(x.dtype)
@@ -175,7 +176,7 @@ def _attention(
     else:
         out = sdpa(q, k, v, mask)
     out = out.reshape(B, S, q_size)
-    proj = jnp.einsum("bsf,fd->bsd", out, layer["wo"], preferred_element_type=jnp.float32)
+    proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
     if lora and "wo" in lora:
         proj = proj + _lora_delta(out, lora["wo"], lora_scale)
     return proj.astype(x.dtype), new_cache
@@ -216,21 +217,31 @@ def _moe_ffn(
         and not has_expert_lora
     )
     if use_decode_kernel:
-        from aria_tpu.ops.moe_decode_kernel import moe_decode
+        from aria_tpu.ops.moe_decode_kernel import moe_decode, moe_decode_quant
 
         I = cfg.moe_intermediate_size
         ft = next((f for f in (512, 256, 128) if I % f == 0), None)
-        if ft:
+        if not ft:
+            use_decode_kernel = False
+        elif is_quantized(w1_full):
+            expert_out = moe_decode_quant(
+                flat, routing.indices, routing.weights,
+                w1_full["q"], w1_full["s8"], w2_full["q"], w2_full["s8"],
+                layer_idx, ft=ft,
+            )
+        else:
             expert_out = moe_decode(
                 flat, routing.indices, routing.weights, w1_full, w2_full,
                 layer_idx, ft=ft,
             )
-            use_decode_kernel = True
-        else:
-            use_decode_kernel = False
     if not use_decode_kernel:
-        w1 = jax.lax.dynamic_index_in_dim(w1_full, layer_idx, 0, keepdims=False)
-        w2 = jax.lax.dynamic_index_in_dim(w2_full, layer_idx, 0, keepdims=False)
+        def _slice(w):
+            if is_quantized(w):
+                return {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
+                        for k2, v in w.items() if k2 in ("q", "s")}
+            return jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
+
+        w1, w2 = dequantize_expert_weights(_slice(w1_full), _slice(w2_full), dtype=x.dtype)
         args = (flat, routing.indices, routing.weights, w1, w2)
         if has_expert_lora:
             # LoRA factors live inside the expert nonlinearity -> capacity path
@@ -244,11 +255,11 @@ def _moe_ffn(
         else:
             expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
 
-    shared_h = jnp.einsum("td,df->tf", flat, layer["shared_w1"], preferred_element_type=jnp.float32)
+    shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
     if lora and "shared_w1" in lora:
         shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
     shared_h = glu(shared_h.astype(x.dtype))
-    shared_out = jnp.einsum("tf,fd->td", shared_h, layer["shared_w2"], preferred_element_type=jnp.float32)
+    shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
     if lora and "shared_w2" in lora:
         shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
 
@@ -275,7 +286,7 @@ def lm_forward(
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
-        x = params["embed"][tokens].astype(params["lm_head"].dtype)
+        x = params["embed"][tokens]
     else:
         x = inputs_embeds
     B, S, D = x.shape
@@ -345,5 +356,5 @@ def lm_forward(
         # Only the sampled position's logits are needed (prefill): skip the
         # [S, V] matmul for all other positions.
         x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
-    logits = jnp.einsum("bsd,dv->bsv", x, params["lm_head"], preferred_element_type=jnp.float32)
+    logits = qlinear(x, params["lm_head"], "bsd,dv->bsv")
     return LMOutput(logits, new_cache, z_loss, aux_loss)

@@ -59,6 +59,103 @@ def _kernel(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
     out_ref[:] += jnp.where(row_ids == t, w_ref[t, s] * partial, 0.0)
 
 
+def _kernel_q(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref,
+              sg_ref, su_ref, s2_ref, out_ref):
+    """int8 variant: weight tiles are int8; per-output-channel scales arrive
+    as [8, ft] broadcast tiles (row 0 used)."""
+    t = pl.program_id(0)
+    s = pl.program_id(1)
+    f = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(s == 0, f == 0)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x_all = x_ref[:]  # [T, D]
+    T, D = x_all.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
+    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
+    gate = jax.lax.dot_general(
+        x, w1g_ref[0, 0].astype(x.dtype), _CONTRACT_LAST,
+        preferred_element_type=jnp.float32,
+    ) * sg_ref[0, 0, 0:1, :]
+    up = jax.lax.dot_general(
+        x, w1u_ref[0, 0].astype(x.dtype), _CONTRACT_LAST,
+        preferred_element_type=jnp.float32,
+    ) * su_ref[0, 0, 0:1, :]
+    h = (gate * jax.lax.logistic(gate)) * up
+    partial = jnp.dot(
+        h.astype(x.dtype), w2_ref[0, 0].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ) * s2_ref[0, 0, 0:1, :]
+    out_ref[:] += jnp.where(row_ids == t, w_ref[t, s] * partial, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
+def moe_decode_quant(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k] int32
+    weights: Array,  # [T, k]
+    w1q: Array,  # int8 [L, E, 2I, D]
+    w1_s8: Array,  # f32 [L, E, 8, 2I]
+    w2q: Array,  # int8 [L, E, I, D]
+    w2_s8: Array,  # f32 [L, E, 8, D]
+    layer_idx: Array,
+    *,
+    ft: int = 256,
+    interpret: bool = False,
+) -> Array:
+    T, D = x.shape
+    k = indices.shape[1]
+    L, E, I2, _ = w1q.shape
+    I = I2 // 2
+    assert I % ft == 0
+    nf = I // ft
+
+    idx_flat = indices.reshape(-1).astype(jnp.int32)
+    l_arr = jnp.atleast_1d(layer_idx).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, k, nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k]
+            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], nf + f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, ft), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, ft), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, nf + f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        _kernel_q,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * k * D * I * 3,
+            bytes_accessed=T * k * 3 * D * I,
+            transcendentals=T * k * I,
+        ),
+        interpret=interpret,
+    )(l_arr, idx_flat, x, weights.astype(jnp.float32).reshape(T, k),
+      w1q, w1q, w2q, w1_s8, w1_s8, w2_s8)
+
+    return out.astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("ft", "interpret"))
 def moe_decode(
     x: Array,  # [T, D]

@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--no-image", action="store_true")
+    ap.add_argument("--int8", action="store_true", help="int8 weight-only LM")
     args = ap.parse_args()
 
     cfg = bench_config(args.experts, args.layers)
@@ -56,6 +57,11 @@ def main():
         lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if args.int8:
+        from aria_tpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params)(params)
+        jax.block_until_ready(params)
     print(f"# init: {time.perf_counter() - t0:.1f}s "
           f"({sum(x.size for x in jax.tree.leaves(params)) / 1e9:.2f}B params)", flush=True)
 
@@ -86,8 +92,9 @@ def main():
     tok_s = float(np.mean([r.tokens_per_s for r in results]))
     ttft = float(np.mean([r.prefill_s for r in results]))
     print(f"# mean image-to-first-token: {ttft*1e3:.0f}ms")
+    suffix = "_int8" if args.int8 else ""
     print(json.dumps({
-        "metric": "decode_tok_s_1chip_ep8_shard_equiv",
+        "metric": f"decode_tok_s_1chip_ep8_shard_equiv{suffix}",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
