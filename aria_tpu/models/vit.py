@@ -133,13 +133,24 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
     attn_mask = pmask[:, None, None, :]  # [N, 1, 1, P]
     H, Dh = cfg.num_heads, cfg.head_dim
 
+    from aria_tpu.ops.backend import use_pallas
+
+    flash = use_pallas() and pmask.shape[1] >= 256
+
     def body(h, layer):
         normed = layer_norm(h, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
         N, P, D = normed.shape
         q = (jnp.einsum("npd,de->npe", normed, layer["wq"]) + layer["bq"]).reshape(N, P, H, Dh)
         k = (jnp.einsum("npd,de->npe", normed, layer["wk"]) + layer["bk"]).reshape(N, P, H, Dh)
         v = (jnp.einsum("npd,de->npe", normed, layer["wv"]) + layer["bv"]).reshape(N, P, H, Dh)
-        att = sdpa(q, k, v, attn_mask).reshape(N, P, D)
+        if flash:
+            # NaViT padding via segment ids (pad tokens = segment 0 attend
+            # only each other; their outputs are ignored downstream).
+            from aria_tpu.ops.flash import flash_sdpa
+
+            att = flash_sdpa(q, k, v, q_valid=pmask, kv_valid=pmask).reshape(N, P, D)
+        else:
+            att = sdpa(q, k, v, attn_mask).reshape(N, P, D)
         att = jnp.einsum("npd,de->npe", att, layer["wo"]) + layer["bo"]
         h = h + att
         normed = layer_norm(h, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)

@@ -4,6 +4,9 @@ Workload mirrors the reference's headline number (25.2 eager / 130.0 compiled
 tok/s on 1x H100): single-image multimodal prompt, 200 new tokens, top-k 200,
 temperature 0.8, 2 warmup + 5 timed runs.
 
+Default serving config: int8 weight-only LM (the analogue of gptfast's int8
+path; --bf16 for the bf16 number).
+
 Model: flagship width/depth (2560 dim, 28 layers, full SigLIP-so400m ViT +
 projector) with 8 experts per layer — the exact per-chip shard of the 64-expert
 flagship under expert-parallel-8 on a v5e-8. Per-token HBM traffic equals the
@@ -48,7 +51,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--no-image", action="store_true")
-    ap.add_argument("--int8", action="store_true", help="int8 weight-only LM")
+    ap.add_argument("--bf16", action="store_true", help="disable int8 weight-only LM")
     args = ap.parse_args()
 
     cfg = bench_config(args.experts, args.layers)
@@ -57,7 +60,7 @@ def main():
         lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    if args.int8:
+    if not args.bf16:
         from aria_tpu.ops.quant import quantize_params
 
         params = jax.jit(quantize_params)(params)
@@ -92,7 +95,7 @@ def main():
     tok_s = float(np.mean([r.tokens_per_s for r in results]))
     ttft = float(np.mean([r.prefill_s for r in results]))
     print(f"# mean image-to-first-token: {ttft*1e3:.0f}ms")
-    suffix = "_int8" if args.int8 else ""
+    suffix = "" if args.bf16 else "_int8"
     print(json.dumps({
         "metric": f"decode_tok_s_1chip_ep8_shard_equiv{suffix}",
         "value": round(tok_s, 2),
