@@ -61,8 +61,9 @@ def flash_sdpa(
         flash_attention,
     )
 
-    # Pad sequence to 128 and head_dim to 128.
-    Sq_p, Sk_p, D_p = _round_up(Sq, 128), _round_up(Sk, 128), _round_up(D, 128)
+    # Pad sequences to the flash block size (blocks must divide seq) and
+    # head_dim to the lane width.
+    Sq_p, Sk_p, D_p = _round_up(Sq, 512), _round_up(Sk, 512), _round_up(D, 128)
 
     def pad(x, s_to, d_to):
         return jnp.pad(x, ((0, 0), (0, s_to - x.shape[1]), (0, 0), (0, d_to - x.shape[3])))
