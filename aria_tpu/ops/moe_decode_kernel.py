@@ -5,16 +5,29 @@ The XLA decode path (``experts_gather``) materializes ``w1[indices]`` /
 ``w2[indices]`` into fresh HBM buffers before the einsum — ~3x the active
 expert weight traffic. This kernel instead uses scalar-prefetched routing
 indices inside BlockSpec index maps, so the pipeline DMAs each selected
-expert's weight tiles HBM->VMEM exactly once and fuses the GLU + combine:
+expert's weight tiles HBM->VMEM directly and fuses the GLU + combine:
 
     out[t] = sum_s weights[t,s] * ( silu(x[t] @ w1g[e].T) * (x[t] @ w1u[e].T) ) @ w2[e]
 
-with e = indices[t, s]. Per token, HBM traffic = top-k experts' weights, the
-same active set the reference's CUDA grouped_gemm reads
-(aria/model/moe_lm.py:431-484) — without its host sync.
+Two dedup tricks keep HBM traffic at the *unique* active expert set:
 
-Weight layout is out-major so every weight tile is a contiguous run of HBM
-rows (long DMA bursts): w1 [E, 2I, D] (gate rows then up rows), w2 [E, I, D].
+- routing slots are sorted by expert id on device, and
+- the grid iterates (ft-tile, slot) with the tile index MAJOR, so consecutive
+  grid steps that map to the same (layer, expert, tile) block are served from
+  the already-resident VMEM block (Pallas only re-DMAs when the index map
+  output changes).
+
+For batched decode (continuous batching, T lanes x top-k slots) this makes
+shared experts across lanes free, unlike the reference's per-token gather.
+
+Weights are passed as the FULL layer stack `[L, E, ...]` and indexed inside
+the BlockSpecs: a pallas call is opaque to XLA, so a scan-sliced per-layer
+weight operand would cost a full materialized copy per layer per step.
+Per-expert traffic equals what the reference's CUDA grouped_gemm reads
+(aria/model/moe_lm.py:431-484) — without its host sync. Layout is out-major
+(w1 [L, E, 2I, D], gate rows then up rows; w2 [L, E, I, D]) so every tile is
+a contiguous run of HBM rows. bf16 and int8 (per-output-channel scales)
+variants.
 """
 
 from __future__ import annotations
@@ -30,72 +43,166 @@ from jax.experimental.pallas import tpu as pltpu
 _CONTRACT_LAST = (((1,), (1,)), ((), ()))  # x[1,D] . w[ft,D] -> [1,ft]
 
 
-def _kernel(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
-    t = pl.program_id(0)
-    s = pl.program_id(1)
-    f = pl.program_id(2)
+def _sort_slots(indices: Array, weights: Array):
+    """Sort routing slots by expert id. Returns (expert_by_slot [S],
+    token_by_slot [S], weight_by_slot [S])."""
+    T, k = indices.shape
+    flat_e = indices.reshape(-1)
+    order = jnp.argsort(flat_e)  # stability irrelevant: slots commute
+    return (
+        flat_e[order].astype(jnp.int32),
+        (order // k).astype(jnp.int32),
+        weights.reshape(-1)[order].astype(jnp.float32),
+    )
 
-    # x/out are unblocked [T, D] buffers (T is small and not tile-aligned);
-    # Mosaic requires 8-aligned sublane slicing, so row t is selected and
-    # accumulated via an iota mask instead of a dynamic slice.
-    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(s == 0, f == 0)))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
+def _body(x_ref, w1g, w1u, w2, out_ref, t, slot_w, sg=None, su=None, s2=None):
     x_all = x_ref[:]  # [T, D]
     T, D = x_all.shape
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
     x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
     gate = jax.lax.dot_general(
-        x, w1g_ref[0, 0], _CONTRACT_LAST, preferred_element_type=jnp.float32
-    )  # [1, FT]
-    up = jax.lax.dot_general(
-        x, w1u_ref[0, 0], _CONTRACT_LAST, preferred_element_type=jnp.float32
+        x, w1g.astype(x.dtype), _CONTRACT_LAST, preferred_element_type=jnp.float32
     )
+    up = jax.lax.dot_general(
+        x, w1u.astype(x.dtype), _CONTRACT_LAST, preferred_element_type=jnp.float32
+    )
+    if sg is not None:
+        gate = gate * sg
+        up = up * su
     h = (gate * jax.lax.logistic(gate)) * up  # silu(gate) * up, fp32
     partial = jnp.dot(
-        h.astype(x.dtype), w2_ref[0, 0], preferred_element_type=jnp.float32
+        h.astype(x.dtype), w2.astype(x.dtype), preferred_element_type=jnp.float32
     )  # [1, D]
-    out_ref[:] += jnp.where(row_ids == t, w_ref[t, s] * partial, 0.0)
+    if s2 is not None:
+        partial = partial * s2
+    out_ref[:] += jnp.where(row_ids == t, slot_w * partial, 0.0)
 
 
-def _kernel_q(l_ref, idx_ref, x_ref, w_ref, w1g_ref, w1u_ref, w2_ref,
-              sg_ref, su_ref, s2_ref, out_ref):
-    """int8 variant: weight tiles are int8; per-output-channel scales arrive
-    as [8, ft] broadcast tiles (row 0 used)."""
-    t = pl.program_id(0)
+def _kernel(meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
+    f = pl.program_id(0)
     s = pl.program_id(1)
-    f = pl.program_id(2)
+    S = pl.num_programs(1)
 
-    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(s == 0, f == 0)))
+    @pl.when(jnp.logical_and(f == 0, s == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x_all = x_ref[:]  # [T, D]
-    T, D = x_all.shape
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
-    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
-    gate = jax.lax.dot_general(
-        x, w1g_ref[0, 0].astype(x.dtype), _CONTRACT_LAST,
-        preferred_element_type=jnp.float32,
-    ) * sg_ref[0, 0, 0:1, :]
-    up = jax.lax.dot_general(
-        x, w1u_ref[0, 0].astype(x.dtype), _CONTRACT_LAST,
-        preferred_element_type=jnp.float32,
-    ) * su_ref[0, 0, 0:1, :]
-    h = (gate * jax.lax.logistic(gate)) * up
-    partial = jnp.dot(
-        h.astype(x.dtype), w2_ref[0, 0].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ) * s2_ref[0, 0, 0:1, :]
-    out_ref[:] += jnp.where(row_ids == t, w_ref[t, s] * partial, 0.0)
+    t = meta_ref[S + s]  # token_by_slot
+    _body(x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0], out_ref, t, wsort_ref[s])
+
+
+def _kernel_q(meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref, sg_ref, su_ref, s2_ref, out_ref):
+    f = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(f == 0, s == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = meta_ref[S + s]
+    _body(
+        x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0], out_ref, t, wsort_ref[s],
+        sg=sg_ref[0, 0, 0:1, :], su=su_ref[0, 0, 0:1, :], s2=s2_ref[0, 0, 0:1, :],
+    )
+
+
+def _pack_meta(layer_idx, indices, weights):
+    """int32 scalar-prefetch array [expert_by_slot | token_by_slot | layer_idx]
+    plus the f32 sorted combine weights."""
+    e_s, t_s, w_s = _sort_slots(indices, weights)
+    meta = jnp.concatenate([e_s, t_s, jnp.atleast_1d(layer_idx).astype(jnp.int32)])
+    return meta, w_s
+
+
+def _specs(ft, nf, D, n_slots, quant):
+    """Index maps: grid (f, slot); meta[slot] = expert, meta[-1] = layer."""
+
+    L_IDX = 2 * n_slots  # meta[-1]
+
+    def w1g(f, s, m, w):
+        return (m[L_IDX], m[s], f, 0)
+
+    def w1u(f, s, m, w):
+        return (m[L_IDX], m[s], nf + f, 0)
+
+    def w2(f, s, m, w):
+        return (m[L_IDX], m[s], f, 0)
+
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
+        pl.BlockSpec((1, 1, ft, D), w1g, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ft, D), w1u, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ft, D), w2, memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        specs += [
+            pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, nf + f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, D), lambda f, s, m, w: (m[L_IDX], m[s], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    return specs
+
+
+def _call(kernel, specs, grid, out_shape, interpret, meta, wsort, *arrays):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, wsort, *arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
+def moe_decode(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k] int32
+    weights: Array,  # [T, k]
+    w1: Array,  # [L, E, 2I, D] out-major (or [E, 2I, D])
+    w2: Array,  # [L, E, I, D]
+    layer_idx: Array = None,
+    *,
+    ft: int = 256,
+    interpret: bool = False,
+) -> Array:
+    T, D = x.shape
+    k = indices.shape[1]
+    if w1.ndim == 3:
+        w1, w2 = w1[None], w2[None]
+        layer_idx = jnp.int32(0)
+    L, E, I2, _ = w1.shape
+    I = I2 // 2
+    assert I % ft == 0, f"moe intermediate {I} must be divisible by tile {ft}"
+    nf = I // ft
+    n_slots = T * k
+
+    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    out = _call(
+        _kernel, _specs(ft, nf, D, n_slots, quant=False), (nf, n_slots),
+        jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
+        meta, wsort, x, w1, w1, w2,
+    )
+    return out.astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ft", "interpret"))
 def moe_decode_quant(
-    x: Array,  # [T, D]
-    indices: Array,  # [T, k] int32
-    weights: Array,  # [T, k]
+    x: Array,
+    indices: Array,
+    weights: Array,
     w1q: Array,  # int8 [L, E, 2I, D]
     w1_s8: Array,  # f32 [L, E, 8, 2I]
     w2q: Array,  # int8 [L, E, I, D]
@@ -111,119 +218,12 @@ def moe_decode_quant(
     I = I2 // 2
     assert I % ft == 0
     nf = I // ft
+    n_slots = T * k
 
-    idx_flat = indices.reshape(-1).astype(jnp.int32)
-    l_arr = jnp.atleast_1d(layer_idx).astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T, k, nf),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k]
-            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], nf + f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, ft), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, ft), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, nf + f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    out = _call(
+        _kernel_q, _specs(ft, nf, D, n_slots, quant=True), (nf, n_slots),
+        jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
+        meta, wsort, x, w1q, w1q, w2q, w1_s8, w1_s8, w2_s8,
     )
-
-    out = pl.pallas_call(
-        _kernel_q,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * k * D * I * 3,
-            bytes_accessed=T * k * 3 * D * I,
-            transcendentals=T * k * I,
-        ),
-        interpret=interpret,
-    )(l_arr, idx_flat, x, weights.astype(jnp.float32).reshape(T, k),
-      w1q, w1q, w2q, w1_s8, w1_s8, w2_s8)
-
-    return out.astype(x.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
-def moe_decode(
-    x: Array,  # [T, D]
-    indices: Array,  # [T, k] int32
-    weights: Array,  # [T, k] fp32/bf16
-    w1: Array,  # [L, E, 2I, D] out-major, FULL layer stack
-    w2: Array,  # [L, E, I, D]
-    layer_idx: Array = None,  # scalar int32 into the leading L axis
-    *,
-    ft: int = 256,
-    interpret: bool = False,
-) -> Array:
-    """Weights are passed as the FULL layer stack and indexed inside the
-    BlockSpec index maps: a pallas call is opaque to XLA, so handing it a
-    scan-sliced per-layer weight would materialize a full copy of that
-    layer's experts every call. Indexing (layer, expert) in the index map
-    makes the pipeline DMA only the needed tiles."""
-    T, D = x.shape
-    k = indices.shape[1]
-    if w1.ndim == 3:  # single-layer convenience form
-        w1, w2 = w1[None], w2[None]
-        layer_idx = jnp.int32(0)
-    L, E, I2, _ = w1.shape
-    I = I2 // 2
-    assert I % ft == 0, f"moe intermediate {I} must be divisible by tile {ft}"
-    nf = I // ft
-
-    idx_flat = indices.reshape(-1).astype(jnp.int32)
-    l_arr = jnp.atleast_1d(layer_idx).astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T, k, nf),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights [T, k], unblocked
-            # gate rows: w1[l, e, f*ft:(f+1)*ft, :]
-            pl.BlockSpec(
-                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # up rows: w1[l, e, I + f*ft : I + (f+1)*ft, :]
-            pl.BlockSpec(
-                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], nf + f, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # w2 rows: w2[l, e, f*ft:(f+1)*ft, :]
-            pl.BlockSpec(
-                (1, 1, ft, D), lambda t, s, f, l, idx: (l[0], idx[t * k + s], f, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out [T, D], unblocked
-    )
-
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * k * D * I * 3,
-            bytes_accessed=T * k * (2 * D * I + I * D) * w1.dtype.itemsize,
-            transcendentals=T * k * I,
-        ),
-        interpret=interpret,
-    )(l_arr, idx_flat, x, weights.astype(jnp.float32).reshape(T, k), w1, w1, w2)
-
     return out.astype(x.dtype)

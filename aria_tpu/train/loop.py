@@ -165,13 +165,19 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
             start_step = last
             print(f"resumed from step {last}")
 
+    import random as _random
+
     step = start_step
     with mesh:
         done = False
         for epoch in range(r.num_train_epochs):
             if done:
                 break
-            for batch_rows in iter_batches(rows, r.per_device_train_batch_size):
+            epoch_rows = list(rows)
+            _random.Random(r.seed + epoch).shuffle(epoch_rows)  # per-epoch reshuffle
+            for bi, batch_rows in enumerate(iter_batches(epoch_rows, r.per_device_train_batch_size)):
+                if epoch * steps_per_epoch + bi < start_step:
+                    continue  # resume: skip batches already consumed
                 if step >= total_steps:
                     done = True
                     break

@@ -43,6 +43,44 @@ def bench_config(num_experts: int = 8, num_layers: int = 28) -> AriaConfig:
     )
 
 
+def bench_batched(params, cfg, args):
+    """Aggregate decode throughput with the continuous-batching server."""
+    from aria_tpu.engine.server import BatchedEngine
+
+    n = args.lanes
+    srv = BatchedEngine(
+        params, cfg, max_lanes=n, max_seq_len=512,
+        temperature=0.8, top_k=200, decode_chunk=25,
+    )
+    rng = np.random.RandomState(0)
+
+    def submit_all():
+        for i in range(n):
+            srv.submit(rng.randint(5, 1000, size=48).tolist(),
+                       max_new_tokens=args.new_tokens)
+
+    # warmup (compiles prefill + batched decode)
+    submit_all()
+    srv.run_until_complete()
+    results = []
+    for r in range(args.runs):
+        submit_all()
+        t0 = time.perf_counter()
+        finished = srv.run_until_complete()
+        dt = time.perf_counter() - t0
+        total = sum(len(f.generated) for f in finished)
+        results.append(total / dt)
+        print(f"# run {r}: {total} tokens across {n} lanes in {dt:.2f}s = {total/dt:.1f} tok/s", flush=True)
+    tok_s = float(np.mean(results))
+    suffix = "" if args.bf16 else "_int8"
+    print(json.dumps({
+        "metric": f"decode_tok_s_1chip_{n}lanes{suffix}",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--experts", type=int, default=8)
@@ -52,6 +90,8 @@ def main():
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--no-image", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="disable int8 weight-only LM")
+    ap.add_argument("--lanes", type=int, default=0,
+                    help="continuous-batching mode: aggregate tok/s over N lanes")
     args = ap.parse_args()
 
     cfg = bench_config(args.experts, args.layers)
@@ -67,6 +107,10 @@ def main():
         jax.block_until_ready(params)
     print(f"# init: {time.perf_counter() - t0:.1f}s "
           f"({sum(x.size for x in jax.tree.leaves(params)) / 1e9:.2f}B params)", flush=True)
+
+    if args.lanes:
+        bench_batched(params, cfg, args)
+        return
 
     engine = Engine(params, cfg, max_seq_len=1024)
 
