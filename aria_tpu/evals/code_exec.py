@@ -92,7 +92,9 @@ def check_correctness(
             f"check({entry_point})" if entry_point else "",
         ]
     )
-    ctx = multiprocessing.get_context("fork")
+    # spawn, not fork: the parent typically has JAX's thread pool running and
+    # forked children can deadlock in arbitrary library code.
+    ctx = multiprocessing.get_context("spawn")
     q = ctx.Queue()
     p = ctx.Process(target=_run_one, args=(program, timeout, q))
     p.start()
