@@ -8,7 +8,7 @@ trick — neither needs a host sync).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -34,14 +34,23 @@ def filter_top_k(logits: Array, top_k: int, *, exact: bool = False) -> Array:
 def sample(
     rng: jax.Array,
     logits: Array,  # [B, V] fp32
-    temperature: float = 1.0,
+    temperature: Union[float, Array] = 1.0,
     top_k: Optional[int] = None,
 ) -> Array:
-    """Returns [B] sampled token ids. temperature<=0 means greedy."""
-    if temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / max(temperature, 1e-5)
+    """Returns [B] sampled token ids. temperature<=0 means greedy.
+
+    ``temperature`` may be a per-row [B] array (continuous batching serves
+    requests with different sampling settings in one step)."""
+    if isinstance(temperature, (int, float)):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.full((logits.shape[0],), float(temperature), jnp.float32)
+    else:
+        temp = temperature.astype(jnp.float32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-5)[:, None]
     if top_k is not None:
         scaled = filter_top_k(scaled, top_k)
     gumbel = jax.random.gumbel(rng, scaled.shape, jnp.float32)
-    return jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temp <= 0.0, greedy, sampled).astype(jnp.int32)

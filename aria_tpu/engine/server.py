@@ -41,6 +41,7 @@ class Request:
     stop_token_ids: tuple = ()
     pixel_values: Optional[np.ndarray] = None
     pixel_mask: Optional[np.ndarray] = None
+    temperature: Optional[float] = None  # None = engine default
     # filled by the server
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -74,6 +75,7 @@ class BatchedEngine:
         self.lane_req: List[Optional[Request]] = [None] * self.B
         self.lane_pos = np.zeros(self.B, np.int32)  # next write position
         self.lane_tok = np.zeros(self.B, np.int32)  # last sampled token
+        self.lane_temp = np.full(self.B, temperature, np.float32)  # per-lane sampling
         self.queue: Deque[Request] = deque()
         self._uid = 0
         self._prefill_jit: Dict = {}
@@ -85,7 +87,7 @@ class BatchedEngine:
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
-        def prefill(params, tokens, cache, true_len, rng, lane, pixel_values=None, pixel_mask=None):
+        def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0, pixel_values=None, pixel_mask=None):
             _, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
             lane_cache = KVCache(
@@ -105,7 +107,7 @@ class BatchedEngine:
                 jax.lax.dynamic_update_slice_in_dim(cache.k, out.cache.k, lane, axis=1),
                 jax.lax.dynamic_update_slice_in_dim(cache.v, out.cache.v, lane, axis=1),
             )
-            tok = sample(rng, out.logits[:, 0], self.temperature, self.top_k)
+            tok = sample(rng, out.logits[:, 0], jnp.full((1,), temp, jnp.float32), self.top_k)
             return tok[0], new_cache
 
         return prefill
@@ -115,7 +117,7 @@ class BatchedEngine:
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
-        def decode_n(params, toks, cache, pos, active, rng, *, n_steps):
+        def decode_n(params, toks, cache, pos, active, temps, rng, *, n_steps):
             kv_pos = jnp.arange(cache.k.shape[3])
 
             def step(carry, i):
@@ -127,7 +129,7 @@ class BatchedEngine:
                     positions=pos[:, None], mask=mask,
                     cache=cache, cache_pos=pos,
                 )
-                nxt = sample(step_rng, out.logits[:, -1], self.temperature, self.top_k)
+                nxt = sample(step_rng, out.logits[:, -1], temps, self.top_k)
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
                 return (nxt, out.cache, pos), nxt
@@ -148,12 +150,14 @@ class BatchedEngine:
         stop_token_ids: Sequence[int] = (),
         pixel_values: Optional[np.ndarray] = None,
         pixel_mask: Optional[np.ndarray] = None,
+        temperature: Optional[float] = None,
     ) -> int:
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask,
+            temperature=temperature,
         ))
         return self._uid
 
@@ -188,15 +192,17 @@ class BatchedEngine:
         if req.pixel_values is not None:
             kwargs = dict(pixel_values=jnp.asarray(req.pixel_values),
                           pixel_mask=jnp.asarray(req.pixel_mask))
+        req_temp = self.temperature if req.temperature is None else req.temperature
         tok, self.cache = prefill(
             self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len), rng,
-            lane, **kwargs,
+            lane, jnp.float32(req_temp), **kwargs,
         )
         first = int(tok)
         req.generated.append(first)
         self.lane_req[lane] = req
         self.lane_pos[lane] = true_len
         self.lane_tok[lane] = first
+        self.lane_temp[lane] = self.temperature if req.temperature is None else req.temperature
         if first in req.stop_token_ids or len(req.generated) >= req.max_new_tokens:
             self._finish(lane)
         return True
@@ -224,7 +230,8 @@ class BatchedEngine:
         self._rng, rng = jax.random.split(self._rng)
         all_toks, last, self.cache, pos = self._decode_jit(
             self.params, jnp.asarray(self.lane_tok), self.cache,
-            jnp.asarray(self.lane_pos), jnp.asarray(active), rng,
+            jnp.asarray(self.lane_pos), jnp.asarray(active),
+            jnp.asarray(self.lane_temp), rng,
             n_steps=self.decode_chunk,
         )
         toks_host = np.asarray(all_toks)  # [n, B]
