@@ -16,11 +16,9 @@ framework's param tree:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

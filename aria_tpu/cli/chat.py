@@ -7,7 +7,7 @@ attaches to the first user message. Commands: /exit, /reset, /image <path>.
 from __future__ import annotations
 
 import argparse
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 class AriaChat:

@@ -70,7 +70,6 @@ def main(argv=None):
 
     from aria_tpu.data.chat import build_inference_prompt
     from aria_tpu.data.processor import AriaProcessor
-    from aria_tpu.data.tokenizer import IMAGE_TOKEN
     from aria_tpu.engine.generate import Engine, GenerationConfig
 
     params, cfg, tokenizer = load_model_and_tokenizer(args)

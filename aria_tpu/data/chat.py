@@ -14,7 +14,7 @@ Also provides the inference-side prompt builder matching the HF chat template
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

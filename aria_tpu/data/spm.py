@@ -20,7 +20,7 @@ fully testable offline.
 from __future__ import annotations
 
 import struct
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 WS = "▁"  # ▁
 

@@ -13,7 +13,7 @@ framework from the implementation:
 
 from __future__ import annotations
 
-from typing import Iterable, List, Protocol, Sequence
+from typing import List, Protocol, Sequence
 
 IMAGE_TOKEN = "<|img|>"
 FIM_PREFIX = "<fim_prefix>"

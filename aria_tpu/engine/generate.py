@@ -21,7 +21,6 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import Array
 
 from aria_tpu.config import AriaConfig
 from aria_tpu.engine.sampling import sample

@@ -92,6 +92,8 @@ def main():
     ap.add_argument("--bf16", action="store_true", help="disable int8 weight-only LM")
     ap.add_argument("--lanes", type=int, default=0,
                     help="continuous-batching mode: aggregate tok/s over N lanes")
+    ap.add_argument("--ctx", type=int, default=0,
+                    help="long-context mode: text prompt of this many tokens")
     args = ap.parse_args()
 
     cfg = bench_config(args.experts, args.layers)
@@ -112,10 +114,15 @@ def main():
         bench_batched(params, cfg, args)
         return
 
-    engine = Engine(params, cfg, max_seq_len=1024)
+    max_seq = 1024 if not args.ctx else args.ctx + args.new_tokens + 64
+    engine = Engine(params, cfg, max_seq_len=max_seq)
 
     # Single-image prompt: 256 image tokens (one 980px crop) + text.
-    if args.no_image:
+    if args.ctx:
+        rng0 = np.random.RandomState(0)
+        prompt = rng0.randint(5, 99000, size=args.ctx).tolist()
+        pixels = mask = None
+    elif args.no_image:
         prompt = [11] * 48
         pixels = mask = None
     else:
@@ -140,6 +147,8 @@ def main():
     ttft = float(np.mean([r.prefill_s for r in results]))
     print(f"# mean image-to-first-token: {ttft*1e3:.0f}ms")
     suffix = "" if args.bf16 else "_int8"
+    if args.ctx:
+        suffix += f"_ctx{args.ctx}"
     print(json.dumps({
         "metric": f"decode_tok_s_1chip_ep8_shard_equiv{suffix}",
         "value": round(tok_s, 2),
