@@ -68,7 +68,8 @@ class Engine:
     ):
         self.params = params
         self.cfg = cfg
-        self.max_seq_len = max_seq_len
+        # decode-attention streams the cache in 128-multiple blocks
+        self.max_seq_len = -(-max_seq_len // 256) * 256
         self.cache_dtype = cache_dtype
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prefill_jit = {}

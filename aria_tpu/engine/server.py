@@ -65,7 +65,7 @@ class BatchedEngine:
         self.params = params
         self.cfg = cfg
         self.B = max_lanes
-        self.S = max_seq_len
+        self.S = -(-max_seq_len // 256) * 256
         self.temperature = temperature
         self.top_k = top_k
         self.decode_chunk = decode_chunk

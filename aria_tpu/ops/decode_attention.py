@@ -76,8 +76,9 @@ def decode_attention(
     """Returns [B, H, D] attention outputs."""
     B, H, D = q.shape
     L, _, _, S, _ = k_cache.shape
-    bs = min(block_s, S)
-    assert S % bs == 0
+    bs = next((b for b in (block_s, 512, 256, 128) if S % b == 0), None)
+    assert bs is not None, f"cache length {S} must be divisible by 128"
+    bs = min(bs, S)
     n_s = S // bs
 
     scale = 1.0 / (D**0.5)
