@@ -252,8 +252,15 @@ def _moe_ffn(
             )
         elif T <= GATHER_PATH_MAX_TOKENS:
             expert_out = experts_gather(*args)
+        elif use_pallas() and cfg.num_experts > 2 * cfg.moe_topk:
+            # Many experts: ragged megablox dispatch (dense capacity would
+            # compute E/k times the needed rows).
+            expert_out = experts_ragged(*args)
         else:
-            expert_out = experts_ragged(*args) if use_pallas() else experts_grouped(*args)
+            # Few (per-chip) experts: the dropless capacity path is ~E/k x
+            # FLOPs but runs as one dense batched GEMM at high MXU
+            # utilization — measured ~5x faster than ragged gmm here.
+            expert_out = experts_grouped(*args)
 
     shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
     if lora and "shared_w1" in lora:

@@ -57,9 +57,9 @@ class TestBatchedEngine:
 
     def test_oversized_request_reports_error(self):
         params = make_params()
-        server = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=64,
+        server = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=256,
                                cache_dtype=jnp.float32)
-        server.submit(list(range(60)), max_new_tokens=50)
+        server.submit([3] * 250, max_new_tokens=100)
         finished = server.run_until_complete()
         assert len(finished) == 1
         assert finished[0].error is not None
@@ -76,3 +76,36 @@ class TestBatchedEngine:
         finished = server.run_until_complete()
         assert finished[0].generated[-1] == stop
         assert len(finished[0].generated) <= 3
+
+
+class TestBatchedMultimodal:
+    def test_multimodal_request_matches_single_engine(self):
+        import numpy as np
+
+        params = make_params()
+        cfg = TINY
+        S_img = cfg.vision.image_size
+        n_q = cfg.projector.query_count(cfg.vision.patches_per_side**2)
+        prompt = [4] + [cfg.image_token_id] * n_q + [7]
+        pixels = np.random.RandomState(3).randn(1, 3, S_img, S_img).astype(np.float32)
+        mask = np.ones((1, S_img, S_img), bool)
+
+        single = Engine(params, cfg, max_seq_len=128, cache_dtype=jnp.float32)
+        exp = single.generate(
+            prompt, GenerationConfig(max_new_tokens=5, temperature=0.0, top_k=None),
+            pixel_values=pixels, pixel_mask=mask,
+        ).tokens
+
+        srv = BatchedEngine(params, cfg, max_lanes=2, max_seq_len=128,
+                            temperature=0.0, decode_chunk=3, cache_dtype=jnp.float32)
+        srv.submit(prompt, max_new_tokens=5, pixel_values=pixels, pixel_mask=mask)
+        srv.submit([9, 9, 9], max_new_tokens=5)  # text-only neighbor lane
+        finished = srv.run_until_complete()
+        mm = next(r for r in finished if len(r.prompt_tokens) == len(prompt))
+        assert mm.generated == exp
+
+    def test_odd_max_seq_len_rounds(self):
+        params = make_params()
+        srv = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=100,
+                            cache_dtype=jnp.float32)
+        assert srv.S % 256 == 0
