@@ -11,6 +11,8 @@ from typing import List
 
 from PIL import Image
 
+Image.MAX_IMAGE_PIXELS = None  # reference load_video.py:22 disables the bomb check
+
 
 def load_video(video_file: str, num_frames: int = 8) -> List[Image.Image]:
     import cv2
