@@ -211,6 +211,25 @@ def _moe_ffn(
         aux_loss_coeff=cfg.moe_aux_loss_coeff,
         training=training,
     )
+    indices, weights = routing.indices, routing.weights
+
+    # Serving-time fused shared experts (quant.fuse_shared_experts): the
+    # expert stacks carry num_shared extra always-on experts; every token gets
+    # fixed extra slots with combine weight 1 and the separate shared-MLP
+    # einsums disappear.
+    E_stack = (w1_full["q"] if is_quantized(w1_full) else w1_full).shape[1]
+    shared_fused = E_stack == cfg.num_experts + cfg.num_shared_experts
+    if shared_fused:
+        ns = cfg.num_shared_experts
+        extra = jnp.broadcast_to(
+            jnp.arange(cfg.num_experts, cfg.num_experts + ns, dtype=jnp.int32)[None],
+            (T, ns),
+        )
+        indices = jnp.concatenate([indices, extra], axis=1)
+        weights = jnp.concatenate(
+            [weights.astype(jnp.float32), jnp.ones((T, ns), jnp.float32)], axis=1
+        ).astype(weights.dtype)
+
     has_expert_lora = lora is not None and ("w1" in lora or "w2" in lora)
     use_decode_kernel = (
         T <= GATHER_PATH_MAX_TOKENS and use_pallas() and not training
@@ -225,14 +244,13 @@ def _moe_ffn(
             use_decode_kernel = False
         elif is_quantized(w1_full):
             expert_out = moe_decode_quant(
-                flat, routing.indices, routing.weights,
+                flat, indices, weights,
                 w1_full["q"], w1_full["s8"], w2_full["q"], w2_full["s8"],
                 layer_idx, ft=ft,
             )
         else:
             expert_out = moe_decode(
-                flat, routing.indices, routing.weights, w1_full, w2_full,
-                layer_idx, ft=ft,
+                flat, indices, weights, w1_full, w2_full, layer_idx, ft=ft,
             )
     if not use_decode_kernel:
         def _slice(w):
@@ -242,7 +260,7 @@ def _moe_ffn(
             return jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
 
         w1, w2 = dequantize_expert_weights(_slice(w1_full), _slice(w2_full), dtype=x.dtype)
-        args = (flat, routing.indices, routing.weights, w1, w2)
+        args = (flat, indices, weights, w1, w2)
         if has_expert_lora:
             # LoRA factors live inside the expert nonlinearity -> capacity path
             # (per-expert batched GEMMs + LoRA deltas, lora/layers.py:108-152).
@@ -262,15 +280,17 @@ def _moe_ffn(
             # utilization — measured ~5x faster than ragged gmm here.
             expert_out = experts_grouped(*args)
 
-    shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
-    if lora and "shared_w1" in lora:
-        shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
-    shared_h = glu(shared_h.astype(x.dtype))
-    shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
-    if lora and "shared_w2" in lora:
-        shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
-
-    out = expert_out + shared_out.astype(x.dtype)
+    if shared_fused:
+        out = expert_out
+    else:
+        shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
+        if lora and "shared_w1" in lora:
+            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
+        shared_h = glu(shared_h.astype(x.dtype))
+        shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
+        if lora and "shared_w2" in lora:
+            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
+        out = expert_out + shared_out.astype(x.dtype)
     return out.reshape(B, S, D), routing.z_loss, routing.aux_loss
 
 

@@ -61,6 +61,53 @@ def _with_s8(qw: QuantWeight) -> QuantWeight:
     return {**qw, "s8": jnp.array(s8)}
 
 
+def fuse_shared_experts(params: dict, num_shared: int = 2) -> dict:
+    """Serving-time transform: append the shared experts to the routed expert
+    stacks as always-on "virtual experts".
+
+    The shared MLP's GLU is elementwise over its intermediate axis, so it
+    decomposes exactly into ``num_shared`` expert-shaped pieces:
+    silu(x@G)*(x@U) @ W2 = sum_j silu(x@G_j)*(x@U_j) @ W2_j. The decode
+    kernel then serves routed + shared experts in one fused pass (every token
+    gets ``num_shared`` extra fixed slots with combine weight 1).
+
+    Returns new params with w1 [L, E+ns, 2I, D], w2 [L, E+ns, I, D] and the
+    shared_w1/shared_w2 entries removed. Apply BEFORE quantize_params.
+    """
+    lm = params["lm"]
+    layers = dict(lm["layers"])
+    w1, w2 = layers["w1"], layers["w2"]
+    quant = is_quantized(w1)
+    L, E, I2, D = (w1["q"] if quant else w1).shape
+    I = I2 // 2
+    sw1, sw2 = layers.pop("shared_w1"), layers.pop("shared_w2")  # [L,D,2Is], [L,Is,D]
+    if is_quantized(sw1):
+        sw1 = dequantize_weight(sw1, input_axis=-2)
+        sw2 = dequantize_weight(sw2, input_axis=-2)
+    Is = sw2.shape[1]
+    assert Is == num_shared * I, (Is, num_shared, I)
+
+    gate = sw1[:, :, :Is]  # [L, D, Is]
+    up = sw1[:, :, Is:]
+    # virtual expert j: rows j*I:(j+1)*I of the intermediate axis
+    g = gate.reshape(L, D, num_shared, I).transpose(0, 2, 3, 1)  # [L,ns,I,D]
+    u = up.reshape(L, D, num_shared, I).transpose(0, 2, 3, 1)
+    v_w1 = jnp.concatenate([g, u], axis=2)  # [L, ns, 2I, D] out-major
+    v_w2 = sw2.reshape(L, num_shared, I, D)
+
+    if quant:
+        qv1 = _with_s8(quantize_weight(v_w1, input_axis=-1))
+        qv2 = _with_s8(quantize_weight(v_w2, input_axis=-2))
+        layers["w1"] = {k: jnp.concatenate([w1[k], qv1[k]], axis=1) for k in w1}
+        layers["w2"] = {k: jnp.concatenate([w2[k], qv2[k]], axis=1) for k in w2}
+    else:
+        layers["w1"] = jnp.concatenate([w1, v_w1.astype(w1.dtype)], axis=1)
+        layers["w2"] = jnp.concatenate([w2, v_w2.astype(w2.dtype)], axis=1)
+    out = dict(params)
+    out["lm"] = {**lm, "layers": layers}
+    return out
+
+
 def quantize_lm_params(lm_params: dict) -> dict:
     """Quantize the decoder's large weights.
 
@@ -68,6 +115,8 @@ def quantize_lm_params(lm_params: dict) -> dict:
     everything else is [..., in, out]."""
     layers = dict(lm_params["layers"])
     for key in LM_QUANT_KEYS:
+        if key not in layers:
+            continue  # shared_w1/w2 absent after fuse_shared_experts
         if key == "w1":
             layers[key] = _with_s8(quantize_weight(layers[key], input_axis=-1))
         elif key == "w2":

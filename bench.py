@@ -102,11 +102,16 @@ def main():
         lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    if not args.bf16:
-        from aria_tpu.ops.quant import quantize_params
+    from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
 
-        params = jax.jit(quantize_params)(params)
+    # quantize FIRST (halves the stacks), then fuse the shared experts into
+    # the expert stacks so they ride the decode kernel — fusing bf16 first
+    # would peak above HBM.
+    if not args.bf16:
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
         jax.block_until_ready(params)
+    params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+    jax.block_until_ready(params)
     print(f"# init: {time.perf_counter() - t0:.1f}s "
           f"({sum(x.size for x in jax.tree.leaves(params)) / 1e9:.2f}B params)", flush=True)
 

@@ -68,3 +68,30 @@ class TestQuantModel:
         eng_fp = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
         res_fp = eng_fp.generate([5, 7, 9], GenerationConfig(max_new_tokens=6, temperature=0.0, top_k=None))
         assert res.tokens[0] == res_fp.tokens[0]
+
+
+class TestFusedSharedExperts:
+    def test_fused_matches_separate(self):
+        from aria_tpu.ops.quant import fuse_shared_experts
+
+        cfg = TINY.text
+        params = init_lm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        fused = fuse_shared_experts({"lm": params})["lm"]
+        E = cfg.num_experts + cfg.num_shared_experts
+        assert fused["layers"]["w1"].shape[1] == E
+        assert "shared_w1" not in fused["layers"]
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 40), 0, cfg.vocab_size)
+        ref = lm_forward(params, cfg, tokens)
+        got = lm_forward(fused, cfg, tokens)
+        np.testing.assert_allclose(
+            np.asarray(got.logits), np.asarray(ref.logits), rtol=2e-4, atol=2e-4
+        )
+
+    def test_fuse_then_quantize_generates(self):
+        from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        fq = quantize_params(fuse_shared_experts(params))
+        eng = Engine(fq, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        res = eng.generate([5, 7, 9], GenerationConfig(max_new_tokens=4, temperature=0.0, top_k=None))
+        assert len(res.tokens) == 4
