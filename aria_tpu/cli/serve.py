@@ -1,0 +1,48 @@
+"""HTTP serving CLI: ``python -m aria_tpu.cli.serve --model-path ... --port 8000``.
+
+Continuous-batching server (the vLLM-role component) fronted by a JSON API.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-lanes", type=int, default=8)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--temperature", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=200)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from aria_tpu.cli.infer import load_model_and_tokenizer
+    from aria_tpu.engine.http_server import serve
+    from aria_tpu.engine.server import BatchedEngine
+    from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
+
+    ns = argparse.Namespace(
+        model_path=args.model_path, tokenizer_path=args.tokenizer_path,
+        lora_path=None, lora_r=8, lora_alpha=32.0, tiny=args.tiny,
+    )
+    params, cfg, tokenizer = load_model_and_tokenizer(ns)
+    if not args.bf16 and not args.tiny:
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
+    params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+    engine = BatchedEngine(
+        params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
+        temperature=args.temperature, top_k=args.top_k,
+    )
+    serve(engine, tokenizer, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
