@@ -44,15 +44,32 @@ class KVCache(NamedTuple):
     """Static-shape KV cache: [L, B, H_kv, S_max, D_head].
 
     (S, D) minor means every (head, position-block) tile is contiguous — the
-    layout the Pallas decode-attention kernel streams directly from HBM."""
+    layout the Pallas decode-attention kernel streams directly from HBM.
+
+    With ``dtype=jnp.int8`` the cache is quantized per (layer, lane, head,
+    position) with fp32 scales (amax/127 over D at write time): half the HBM
+    traffic and double the max context per chip (32K fits a 16GB v5e beside
+    the int8 bench model)."""
 
     k: Array
     v: Array
+    k_scale: Optional[Array] = None  # f32 [L, B, H, S] when k is int8
+    v_scale: Optional[Array] = None
 
     @staticmethod
     def init(cfg: TextConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        if dtype == jnp.int8:
+            # two distinct buffers (sharing one breaks donation)
+            return KVCache(k, v, jnp.ones(shape[:-1], jnp.float32),
+                           jnp.ones(shape[:-1], jnp.float32))
+        return KVCache(k, v)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def max_seq(self) -> int:
@@ -105,7 +122,7 @@ def _attention(
     cos: Array,
     sin: Array,
     mask: Optional[Array],
-    cache_kv: Optional[tuple[Array, Array]],  # full stacked ([L, B, Smax, Hkv, Dh], ...)
+    cache_kv: Optional["KVCache"],  # full stacked [L, B, Hkv, Smax, Dh] (+ scales if int8)
     cache_pos: Optional[Array],  # scalar (or [B]) write offset into the cache
     layer_idx: Optional[Array] = None,  # scalar int32: which layer's cache plane
     lora: Optional[dict] = None,
@@ -131,23 +148,43 @@ def _attention(
         # this layer's tiny new k/v block is scattered in (in-place on the
         # donated carry). Streaming the cache through scan xs/ys instead
         # costs a full-plane dynamic-slice copy per layer per step.
-        k_cache, v_cache = cache_kv
-        k_t = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, H, S, D]
-        v_t = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        quantized = cache_kv.quantized
+        k_t = k.transpose(0, 2, 1, 3)  # [B, H, S, D]
+        v_t = v.transpose(0, 2, 1, 3)
+        if quantized:
+            k_sc = jnp.maximum(jnp.max(jnp.abs(k_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
+            v_sc = jnp.maximum(jnp.max(jnp.abs(v_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
+            k_t = jnp.round(k_t.astype(jnp.float32) / k_sc[..., None]).astype(jnp.int8)
+            v_t = jnp.round(v_t.astype(jnp.float32) / v_sc[..., None]).astype(jnp.int8)
+        else:
+            k_t = k_t.astype(cache_kv.k.dtype)
+            v_t = v_t.astype(cache_kv.v.dtype)
+
         if cache_pos.ndim == 0:
             start = (layer_idx, 0, 0, cache_pos, 0)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], start)
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], start)
+            new_cache = KVCache(
+                jax.lax.dynamic_update_slice(cache_kv.k, k_t[None], start),
+                jax.lax.dynamic_update_slice(cache_kv.v, v_t[None], start),
+                *((
+                    jax.lax.dynamic_update_slice(cache_kv.k_scale, k_sc[None], start[:-1]),
+                    jax.lax.dynamic_update_slice(cache_kv.v_scale, v_sc[None], start[:-1]),
+                ) if quantized else (None, None)),
+            )
             lengths = jnp.full((B,), cache_pos + S, jnp.int32)
         else:
             # per-lane write offsets (continuous batching): cache_pos [B]
             bi = jnp.arange(B)[:, None, None]
             hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
             si = (cache_pos[:, None] + jnp.arange(S)[None, :])[:, None, :]
-            k_cache = k_cache.at[layer_idx, bi, hi, si].set(k_t)
-            v_cache = v_cache.at[layer_idx, bi, hi, si].set(v_t)
+            new_cache = KVCache(
+                cache_kv.k.at[layer_idx, bi, hi, si].set(k_t),
+                cache_kv.v.at[layer_idx, bi, hi, si].set(v_t),
+                *((
+                    cache_kv.k_scale.at[layer_idx, bi, hi, si].set(k_sc),
+                    cache_kv.v_scale.at[layer_idx, bi, hi, si].set(v_sc),
+                ) if quantized else (None, None)),
+            )
             lengths = cache_pos + S
-        new_cache = (k_cache, v_cache)
     else:
         new_cache = None
 
@@ -162,11 +199,18 @@ def _attention(
         from aria_tpu.ops.decode_attention import decode_attention
 
         out = decode_attention(
-            q[:, 0], k_cache, v_cache, layer_idx, lengths
+            q[:, 0], new_cache.k, new_cache.v, layer_idx, lengths,
+            k_scale=new_cache.k_scale, v_scale=new_cache.v_scale,
         )[:, None]  # [B, 1, H, D]
     elif cache_kv is not None:
-        k_att = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
-        v_att = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+        def _plane(arr):
+            return jax.lax.dynamic_index_in_dim(arr, layer_idx, 0, keepdims=False)
+
+        k_att = _plane(new_cache.k)
+        v_att = _plane(new_cache.v)
+        if new_cache.quantized:
+            k_att = k_att.astype(jnp.float32) * _plane(new_cache.k_scale)[..., None]
+            v_att = v_att.astype(jnp.float32) * _plane(new_cache.v_scale)[..., None]
         out = sdpa(
             q,
             k_att.transpose(0, 2, 1, 3).astype(q.dtype),
@@ -340,9 +384,9 @@ def lm_forward(
 
     def body(carry, xs):
         if has_cache:
-            h, zl, al, kc, vc = carry
+            h, zl, al, kv = carry
             layer, lr, l_idx = xs
-            kv, pos = (kc, vc), cache_pos
+            pos = cache_pos
         else:
             h, zl, al = carry
             layer, lr, l_idx = xs
@@ -358,7 +402,7 @@ def lm_forward(
         )
         h = h + ffn_out
         if has_cache:
-            return (h, zl + z_loss, al + aux_loss, new_kv[0], new_kv[1]), None
+            return (h, zl + z_loss, al + aux_loss, new_kv), None
         return (h, zl + z_loss, al + aux_loss), None
 
     if remat:
@@ -367,11 +411,10 @@ def lm_forward(
     zero = jnp.zeros((), jnp.float32)
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if has_cache:
-        init = (x, zero, zero, cache.k, cache.v)
-        (x, z_loss, aux_loss, new_k, new_v), _ = jax.lax.scan(
+        init = (x, zero, zero, cache)
+        (x, z_loss, aux_loss, new_cache), _ = jax.lax.scan(
             body, init, (xs_layers, lora_layers, layer_ids)
         )
-        new_cache = KVCache(new_k, new_v)
     else:
         (x, z_loss, aux_loss), _ = jax.lax.scan(
             body, (x, zero, zero), (xs_layers, lora_layers, layer_ids)

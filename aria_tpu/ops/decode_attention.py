@@ -23,6 +23,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
+                  b, s, n_s, k_sc=None, v_sc=None):
+    q = q_ref[0]  # [H, D] (pre-scaled)
+    H, BS, D = k_blk.shape
+
+    # Batched-per-head contractions as multiply+reduce on the VPU (Mosaic
+    # cannot lower batched dot_general inside a kernel; decode attention is
+    # HBM-bandwidth-bound so the VPU is not the bottleneck).
+    qf = q.astype(jnp.float32)[:, None, :]  # [H, 1, D]
+    scores = jnp.sum(qf * k_blk.astype(jnp.float32), axis=2)  # [H, BS]
+    if k_sc is not None:  # int8 cache: per-(head, position) scales
+        scores = scores * k_sc
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
+    scores = jnp.where(kv_idx < len_ref[b], scores, NEG_INF)
+
+    m_prev = m_ref[:, 0:1]  # [H, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)  # [H, BS]
+    s_new = s_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    if v_sc is not None:
+        p_v = p * v_sc
+    else:
+        p_v = p
+    pv = jnp.sum(p_v[:, :, None] * v_blk.astype(jnp.float32), axis=1)  # [H, D]
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+
+
 def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -34,41 +68,36 @@ def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref)
         s_ref[:] = jnp.zeros_like(s_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [H, D] (pre-scaled)
-    k_blk = k_ref[0, 0]  # [H, BS, D]
-    v_blk = v_ref[0, 0]  # [H, BS, D]
-    H, BS, D = k_blk.shape
+    _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
+                  m_ref, s_ref, acc_ref, b, s, n_s)
 
-    # Batched-per-head contractions as multiply+reduce on the VPU (Mosaic
-    # cannot lower batched dot_general inside a kernel; decode attention is
-    # HBM-bandwidth-bound so the VPU is not the bottleneck).
-    qf = q.astype(jnp.float32)[:, None, :]  # [H, 1, D]
-    scores = jnp.sum(qf * k_blk.astype(jnp.float32), axis=2)  # [H, BS]
-    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
-    scores = jnp.where(kv_idx < len_ref[b], scores, NEG_INF)
 
-    m_prev = m_ref[:, 0:1]  # [H, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)  # [H, BS]
-    s_new = s_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    pv = jnp.sum(p[:, :, None] * v_blk.astype(jnp.float32), axis=1)  # [H, D]
-    acc_ref[:] = acc_ref[:] * corr + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+def _kernel_qcache(l_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   out_ref, m_ref, s_ref, acc_ref):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
 
-    @pl.when(s == n_s - 1)
+    @pl.when(s == 0)
     def _():
-        out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
+                  m_ref, s_ref, acc_ref, b, s, n_s,
+                  k_sc=ks_ref[0, 0], v_sc=vs_ref[0, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: Array,  # [B, H, D] current token's queries (unscaled)
-    k_cache: Array,  # [L, B, H, S, D]
+    k_cache: Array,  # [L, B, H, S, D] (bf16 or int8)
     v_cache: Array,  # [L, B, H, S, D]
     layer_idx: Array,  # scalar int32
     lengths: Array,  # [B] int32: attend to kv positions < length
+    k_scale: Array = None,  # f32 [L, B, H, S] when the cache is int8
+    v_scale: Array = None,
     *,
     block_s: int = 256,
     interpret: bool = False,
@@ -80,24 +109,34 @@ def decode_attention(
     assert bs is not None, f"cache length {S} must be divisible by 128"
     bs = min(bs, S)
     n_s = S // bs
+    quantized = k_scale is not None
 
     scale = 1.0 / (D**0.5)
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    q = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16 if quantized else q.dtype)
+
+    kv_spec = pl.BlockSpec(
+        (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, H, bs), lambda b, s, l, ln: (l[0], b, 0, s),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
+        kv_spec, kv_spec,
+    ]
+    arrays = [q, k_cache, v_cache]
+    kernel = _kernel
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        arrays += [k_scale, v_scale]
+        kernel = _kernel_qcache
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_s),
-        in_specs=[
-            pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H, 128), jnp.float32),  # running max (col 0 used)
@@ -106,10 +145,11 @@ def decode_attention(
         ],
     )
 
-    return pl.pallas_call(
-        _kernel,
+    out = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.bfloat16 if quantized else q.dtype),
         interpret=interpret,
     )(jnp.atleast_1d(layer_idx).astype(jnp.int32), lengths.astype(jnp.int32),
-      q, k_cache, v_cache)
+      *arrays)
+    return out

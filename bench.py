@@ -94,6 +94,8 @@ def main():
                     help="continuous-batching mode: aggregate tok/s over N lanes")
     ap.add_argument("--ctx", type=int, default=0,
                     help="long-context mode: text prompt of this many tokens")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="quantize the KV cache to int8 (2x context capacity)")
     args = ap.parse_args()
 
     cfg = bench_config(args.experts, args.layers)
@@ -120,7 +122,8 @@ def main():
         return
 
     max_seq = 1024 if not args.ctx else args.ctx + args.new_tokens + 64
-    engine = Engine(params, cfg, max_seq_len=max_seq)
+    cache_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
+    engine = Engine(params, cfg, max_seq_len=max_seq, cache_dtype=cache_dtype)
 
     # Single-image prompt: 256 image tokens (one 980px crop) + text.
     if args.ctx:
@@ -152,6 +155,8 @@ def main():
     ttft = float(np.mean([r.prefill_s for r in results]))
     print(f"# mean image-to-first-token: {ttft*1e3:.0f}ms")
     suffix = "" if args.bf16 else "_int8"
+    if args.kv_int8:
+        suffix += "_kv8"
     if args.ctx:
         suffix += f"_ctx{args.ctx}"
     print(json.dumps({

@@ -95,3 +95,23 @@ class TestFusedSharedExperts:
         eng = Engine(fq, TINY, max_seq_len=128, cache_dtype=jnp.float32)
         res = eng.generate([5, 7, 9], GenerationConfig(max_new_tokens=4, temperature=0.0, top_k=None))
         assert len(res.tokens) == 4
+
+
+class TestInt8KVCache:
+    def test_greedy_matches_fp_cache(self):
+        from aria_tpu.engine.generate import Engine, GenerationConfig
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.0, top_k=None, decode_chunk=4)
+        fp = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32).generate([5, 17, 3], gen)
+        q8 = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.int8).generate([5, 17, 3], gen)
+        assert fp.tokens == q8.tokens
+
+    def test_cache_structure(self):
+        from aria_tpu.models.moe_lm import KVCache
+
+        c = KVCache.init(TINY.text, 2, 256, jnp.int8)
+        assert c.quantized and c.k.dtype == jnp.int8
+        assert c.k_scale.shape == c.k.shape[:-1]
+        c2 = KVCache.init(TINY.text, 2, 256, jnp.bfloat16)
+        assert not c2.quantized and c2.k_scale is None
