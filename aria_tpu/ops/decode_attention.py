@@ -28,11 +28,18 @@ def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
     q = q_ref[0]  # [H, D] (pre-scaled)
     H, BS, D = k_blk.shape
 
-    # Batched-per-head contractions as multiply+reduce on the VPU (Mosaic
-    # cannot lower batched dot_general inside a kernel; decode attention is
-    # HBM-bandwidth-bound so the VPU is not the bottleneck).
-    qf = q.astype(jnp.float32)[:, None, :]  # [H, 1, D]
-    scores = jnp.sum(qf * k_blk.astype(jnp.float32), axis=2)  # [H, BS]
+    # Per-head 2D dots (Mosaic cannot lower batched 3D dot_general): each
+    # q[h] . k[h].T runs on the MXU. The VPU multiply-reduce alternative is
+    # compute-bound at long context.
+    compute_t = q.dtype if k_sc is None else jnp.bfloat16
+    scores_rows = [
+        jax.lax.dot_general(
+            q[h : h + 1], k_blk[h].astype(compute_t), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for h in range(H)
+    ]
+    scores = jnp.concatenate(scores_rows, axis=0)  # [H, BS]
     if k_sc is not None:  # int8 cache: per-(head, position) scales
         scores = scores * k_sc
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
@@ -43,11 +50,13 @@ def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
     corr = jnp.exp(m_prev - m_new)
     p = jnp.exp(scores - m_new)  # [H, BS]
     s_new = s_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    if v_sc is not None:
-        p_v = p * v_sc
-    else:
-        p_v = p
-    pv = jnp.sum(p_v[:, :, None] * v_blk.astype(jnp.float32), axis=1)  # [H, D]
+    p_v = (p * v_sc if v_sc is not None else p).astype(compute_t)
+    pv_rows = [
+        jnp.dot(p_v[h : h + 1], v_blk[h].astype(compute_t),
+                preferred_element_type=jnp.float32)
+        for h in range(H)
+    ]
+    pv = jnp.concatenate(pv_rows, axis=0)  # [H, D]
     acc_ref[:] = acc_ref[:] * corr + pv
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
