@@ -1,0 +1,102 @@
+"""Pallas kernel parity tests (interpret mode, CPU).
+
+The kernels also run compiled on real TPU via bench.py and the engine
+fidelity checks; these tests pin their semantics against the XLA reference
+paths on every CI run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aria_tpu.ops.attention import sdpa
+from aria_tpu.ops.decode_attention import decode_attention
+from aria_tpu.ops.moe import experts_gather, route_topk
+from aria_tpu.ops.moe_decode_kernel import moe_decode, moe_decode_quant
+from aria_tpu.ops.quant import _with_s8, dequantize_weight, quantize_weight
+
+
+@pytest.fixture(scope="module")
+def moe_setup():
+    rng = np.random.RandomState(0)
+    L, T, D, E, k, I = 2, 5, 256, 8, 6, 512
+    return {
+        "x": jnp.asarray(rng.randn(T, D).astype(np.float32)),
+        "gate": jnp.asarray(rng.randn(E, D).astype(np.float32)),
+        "w1": jnp.asarray(rng.randn(L, E, 2 * I, D).astype(np.float32)) * 0.05,
+        "w2": jnp.asarray(rng.randn(L, E, I, D).astype(np.float32)) * 0.05,
+        "k": k, "L": L,
+    }
+
+
+class TestMoEDecodeKernel:
+    def test_matches_gather_all_layers(self, moe_setup):
+        s = moe_setup
+        r = route_topk(s["x"], s["gate"], s["k"])
+        for l in range(s["L"]):
+            ref = experts_gather(s["x"], r.indices, r.weights, s["w1"][l], s["w2"][l])
+            got = moe_decode(s["x"], r.indices, r.weights, s["w1"], s["w2"],
+                             jnp.int32(l), ft=256, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_quant_variant(self, moe_setup):
+        s = moe_setup
+        r = route_topk(s["x"], s["gate"], s["k"])
+        w1q = _with_s8(quantize_weight(s["w1"], input_axis=-1))
+        w2q = _with_s8(quantize_weight(s["w2"], input_axis=-2))
+        for l in range(s["L"]):
+            w1d = dequantize_weight({"q": w1q["q"][l], "s": w1q["s"][l]}, input_axis=-1, dtype=jnp.float32)
+            w2d = dequantize_weight({"q": w2q["q"][l], "s": w2q["s"][l]}, input_axis=-2, dtype=jnp.float32)
+            ref = experts_gather(s["x"], r.indices, r.weights, w1d, w2d)
+            got = moe_decode_quant(s["x"], r.indices, r.weights,
+                                   w1q["q"], w1q["s8"], w2q["q"], w2q["s8"],
+                                   jnp.int32(l), ft=256, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+    def test_single_token(self, moe_setup):
+        s = moe_setup
+        x1 = s["x"][:1]
+        r = route_topk(x1, s["gate"], s["k"])
+        ref = experts_gather(x1, r.indices, r.weights, s["w1"][0], s["w2"][0])
+        got = moe_decode(x1, r.indices, r.weights, s["w1"], s["w2"],
+                         jnp.int32(0), ft=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+class TestDecodeAttentionKernel:
+    def _setup(self):
+        rng = np.random.RandomState(1)
+        L, B, H, S, D = 2, 2, 4, 256, 64
+        k = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+        q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+        lengths = jnp.asarray([100, 200], jnp.int32)
+        return k, v, q, lengths, S
+
+    def test_matches_sdpa(self):
+        k, v, q, lengths, S = self._setup()
+        for l in range(2):
+            out = decode_attention(q, k, v, jnp.int32(l), lengths, interpret=True, block_s=128)
+            mask = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None, :]
+            ref = sdpa(q[:, None], k[l].transpose(0, 2, 1, 3), v[l].transpose(0, 2, 1, 3), mask)[:, 0]
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_int8_cache_variant(self):
+        k, v, q, lengths, S = self._setup()
+        kn, vn = np.asarray(k), np.asarray(v)
+        ks = np.abs(kn).max(-1) / 127.0
+        vs = np.abs(vn).max(-1) / 127.0
+        k8 = np.round(kn / ks[..., None]).astype(np.int8)
+        v8 = np.round(vn / vs[..., None]).astype(np.int8)
+        out = decode_attention(
+            q.astype(jnp.bfloat16), jnp.asarray(k8), jnp.asarray(v8), jnp.int32(1),
+            lengths, jnp.asarray(ks), jnp.asarray(vs), interpret=True, block_s=128,
+        )
+        kd = (k8[1].astype(np.float32) * ks[1][..., None]).transpose(0, 2, 1, 3)
+        vd = (v8[1].astype(np.float32) * vs[1][..., None]).transpose(0, 2, 1, 3)
+        mask = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None, :]
+        ref = sdpa(q[:, None], jnp.asarray(kd), jnp.asarray(vd), mask)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(out.astype(jnp.float32)), np.asarray(ref), rtol=2e-2, atol=5e-3
+        )
