@@ -51,6 +51,7 @@ def bench_batched(params, cfg, args):
     srv = BatchedEngine(
         params, cfg, max_lanes=n, max_seq_len=512,
         temperature=0.8, top_k=200, decode_chunk=25,
+        cache_dtype=jnp.int8 if args.kv_int8 else jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
 
@@ -73,6 +74,8 @@ def bench_batched(params, cfg, args):
         print(f"# run {r}: {total} tokens across {n} lanes in {dt:.2f}s = {total/dt:.1f} tok/s", flush=True)
     tok_s = float(np.mean(results))
     suffix = "" if args.bf16 else "_int8"
+    if args.kv_int8:
+        suffix += "_kv8"
     print(json.dumps({
         "metric": f"decode_tok_s_1chip_{n}lanes{suffix}",
         "value": round(tok_s, 2),
