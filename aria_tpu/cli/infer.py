@@ -19,7 +19,7 @@ def load_model_and_tokenizer(args):
 
     from aria_tpu.checkpoint.io import import_hf_checkpoint, latest_step, load_checkpoint
     from aria_tpu.config import AriaConfig
-    from aria_tpu.data.tokenizer import ByteTokenizer, HFTokenizer
+    from aria_tpu.data.tokenizer import ByteTokenizer, load_tokenizer
     from aria_tpu.models.aria import init_aria_params
 
     cfg = AriaConfig.tiny() if args.tiny else AriaConfig.aria_25b()
@@ -44,7 +44,7 @@ def load_model_and_tokenizer(args):
         lc = LoraConfig(rank=args.lora_r, alpha=args.lora_alpha)
         params = merge_lora(params, lora, lc)
 
-    tokenizer = HFTokenizer(args.tokenizer_path) if args.tokenizer_path else ByteTokenizer()
+    tokenizer = load_tokenizer(args.tokenizer_path) if args.tokenizer_path else ByteTokenizer()
     return params, cfg, tokenizer
 
 

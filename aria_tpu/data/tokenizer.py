@@ -85,6 +85,48 @@ class ByteTokenizer:
         return "".join(out)
 
 
+def load_tokenizer(path: str):
+    """Load the best available tokenizer implementation for a checkpoint dir:
+
+    1. HF fast tokenizer (tokenizer.json) — no sentencepiece needed;
+    2. HF slow tokenizer (needs the sentencepiece lib);
+    3. this framework's pure-Python sentencepiece-unigram reader
+       (tokenizer.model + added_tokens.json / tokenizer_config.json).
+    """
+    import json
+    import os
+
+    try:
+        return HFTokenizer(path, use_fast=True)
+    except Exception:
+        pass
+    try:
+        return HFTokenizer(path, use_fast=False)
+    except Exception:
+        pass
+
+    model_file = os.path.join(path, "tokenizer.model")
+    if os.path.exists(model_file):
+        from aria_tpu.data.spm import SentencePieceTokenizer, parse_model_proto
+
+        with open(model_file, "rb") as f:
+            pieces = parse_model_proto(f.read())
+        added = {}
+        added_file = os.path.join(path, "added_tokens.json")
+        if os.path.exists(added_file):
+            with open(added_file) as f:
+                added = {k: int(v) for k, v in json.load(f).items()}
+        else:
+            cfg_file = os.path.join(path, "tokenizer_config.json")
+            if os.path.exists(cfg_file):
+                with open(cfg_file) as f:
+                    tc = json.load(f)
+                for tid, info in (tc.get("added_tokens_decoder") or {}).items():
+                    added[info["content"]] = int(tid)
+        return SentencePieceTokenizer(pieces, added_tokens=added)
+    raise FileNotFoundError(f"no loadable tokenizer found in {path}")
+
+
 class HFTokenizer:
     """Wraps a transformers tokenizer loaded from local files."""
 

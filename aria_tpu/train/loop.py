@@ -27,7 +27,7 @@ from aria_tpu.checkpoint.io import import_hf_checkpoint, latest_step, load_check
 from aria_tpu.config import AriaConfig
 from aria_tpu.data.collate import collate_fn
 from aria_tpu.data.datasets import iter_batches, mix_datasets
-from aria_tpu.data.tokenizer import ByteTokenizer, HFTokenizer
+from aria_tpu.data.tokenizer import ByteTokenizer, load_tokenizer
 from aria_tpu.data.vision_processor import AriaVisionProcessor
 from aria_tpu.models.aria import init_aria_params
 from aria_tpu.parallel.mesh import MeshConfig, aria_param_specs, make_mesh, shard_tree
@@ -77,7 +77,7 @@ def _to_train_config(r: Recipe, total_steps: int) -> TrainConfig:
 
 def build_tokenizer(r: Recipe):
     if r.tokenizer_path:
-        return HFTokenizer(r.tokenizer_path)
+        return load_tokenizer(r.tokenizer_path)
     return ByteTokenizer()
 
 

@@ -77,3 +77,26 @@ class TestSPM:
         # Llama prepends ▁: "hello" alone segments as "▁hello"
         ids = tok.encode("hello")
         assert tok.pieces[ids[0]][0] == WS + "hello"
+
+
+class TestLoadTokenizer:
+    def test_spm_fallback_from_dir(self, tmp_path, tok):
+        from aria_tpu.data.spm import encode_model_proto
+        from aria_tpu.data.tokenizer import load_tokenizer
+        import json
+
+        (tmp_path / "tokenizer.model").write_bytes(encode_model_proto(tiny_pieces()))
+        base = len(tiny_pieces())
+        (tmp_path / "added_tokens.json").write_text(
+            json.dumps({"<|img|>": base, "<|im_start|>": base + 1, "<|im_end|>": base + 2})
+        )
+        loaded = load_tokenizer(str(tmp_path))
+        assert loaded.encode("hello world") == tok.encode("hello world")
+        assert loaded.image_token_id == base
+
+    def test_missing_dir_raises(self, tmp_path):
+        from aria_tpu.data.tokenizer import load_tokenizer
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            load_tokenizer(str(tmp_path / "nope"))
