@@ -88,8 +88,12 @@ class ByteTokenizer:
 def load_tokenizer(path: str):
     """Load the best available tokenizer implementation for a checkpoint dir:
 
-    1. HF fast tokenizer (tokenizer.json) — no sentencepiece needed;
-    2. HF slow tokenizer (needs the sentencepiece lib);
+    1. HF slow tokenizer (sentencepiece-backed) — the reference pins
+       ``use_fast=False`` everywhere (processing_aria.py:74, train.py:80-81)
+       because fast/slow Llama tokenizers drift on whitespace/special-token
+       boundaries; slow is the fidelity reference;
+    2. HF fast tokenizer (tokenizer.json) — fallback when sentencepiece /
+       tokenizer.model is unavailable;
     3. this framework's pure-Python sentencepiece-unigram reader
        (tokenizer.model + added_tokens.json / tokenizer_config.json).
     """
@@ -97,11 +101,11 @@ def load_tokenizer(path: str):
     import os
 
     try:
-        return HFTokenizer(path, use_fast=True)
+        return HFTokenizer(path, use_fast=False)
     except Exception:
         pass
     try:
-        return HFTokenizer(path, use_fast=False)
+        return HFTokenizer(path, use_fast=True)
     except Exception:
         pass
 
@@ -147,7 +151,11 @@ class HFTokenizer:
         return ids[0]
 
     def encode(self, text: str) -> List[int]:
-        return self._tok(text).input_ids
+        # encode() is called per ChatML *fragment*; a tokenizer configured to
+        # add BOS/EOS would silently corrupt the assembled sequence
+        # (reference assembles with add_special_tokens=False semantics,
+        # aria/data.py:88-99).
+        return self._tok(text, add_special_tokens=False).input_ids
 
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode(ids)

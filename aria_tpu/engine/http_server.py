@@ -32,6 +32,7 @@ class ServingLoop:
         self._lock = threading.Lock()
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, object] = {}
+        self._abandoned: set = set()
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -44,6 +45,9 @@ class ServingLoop:
                 finished = self.engine.step()
                 idle = not self.engine.queue and not self.engine._active_mask().any()
             for req in finished:
+                if req.uid in self._abandoned:  # timed-out caller: discard
+                    self._abandoned.discard(req.uid)
+                    continue
                 self._results[req.uid] = req
                 ev = self._events.pop(req.uid, None)
                 if ev:
@@ -66,6 +70,13 @@ class ServingLoop:
             )
             self._events[uid] = ev
         if not ev.wait(timeout):
+            # Drop our bookkeeping so the request's eventual result doesn't
+            # leak in _results forever. The lane itself still runs to
+            # max_new_tokens (BatchedEngine has no mid-flight cancel yet);
+            # _abandoned tells the scheduler loop to discard the result.
+            with self._lock:
+                self._events.pop(uid, None)
+                self._abandoned.add(uid)
             raise TimeoutError(f"request {uid} timed out")
         req = self._results.pop(uid)
         text = self.tokenizer.decode(req.generated).split("<|im_end|>")[0]
@@ -120,7 +131,7 @@ def make_handler(loop: ServingLoop):
     return Handler
 
 
-def serve(engine, tokenizer, host: str = "0.0.0.0", port: int = 8000):
+def serve(engine, tokenizer, host: str = "127.0.0.1", port: int = 8000):
     loop = ServingLoop(engine, tokenizer)
     httpd = ThreadingHTTPServer((host, port), make_handler(loop))
     print(f"serving on {host}:{port}")

@@ -90,9 +90,11 @@ class BatchedEngine:
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0, pixel_values=None, pixel_mask=None):
             _, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
-            lane_cache = KVCache(
-                jax.lax.dynamic_slice_in_dim(cache.k, lane, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(cache.v, lane, 1, axis=1),
+            # Slice ALL cache leaves (k, v and — for int8 caches — the fp32
+            # scales). Dropping the scales would make _attention see an
+            # unquantized cache and raw-cast bf16 K/V to int8.
+            lane_cache = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, lane, 1, axis=1), cache
             )
             kv_pos = jnp.arange(lane_cache.k.shape[3])
             qi = jnp.arange(S)
@@ -103,9 +105,9 @@ class BatchedEngine:
                 cache=lane_cache, cache_pos=jnp.int32(0),
                 logit_position=true_len - 1, causal_flash=True,
             )
-            new_cache = KVCache(
-                jax.lax.dynamic_update_slice_in_dim(cache.k, out.cache.k, lane, axis=1),
-                jax.lax.dynamic_update_slice_in_dim(cache.v, out.cache.v, lane, axis=1),
+            new_cache = jax.tree.map(
+                lambda full, ln: jax.lax.dynamic_update_slice_in_dim(full, ln, lane, axis=1),
+                cache, out.cache,
             )
             tok = sample(rng, out.logits[:, 0], jnp.full((1,), temp, jnp.float32), self.top_k)
             return tok[0], new_cache

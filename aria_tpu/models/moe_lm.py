@@ -195,7 +195,8 @@ def _attention(
         from aria_tpu.ops.flash import flash_sdpa
 
         out = flash_sdpa(q, k, v, causal=True)
-    elif cache_kv is not None and S == 1 and use_pallas():
+    elif (cache_kv is not None and S == 1 and use_pallas()
+          and cfg.num_kv_heads == cfg.num_heads):  # kernel is MHA-only; GQA -> sdpa
         from aria_tpu.ops.decode_attention import decode_attention
 
         out = decode_attention(

@@ -111,9 +111,18 @@ def decode_attention(
     block_s: int = 256,
     interpret: bool = False,
 ) -> Array:
-    """Returns [B, H, D] attention outputs."""
+    """Returns [B, H, D] attention outputs.
+
+    MHA only: the kernel sizes its KV BlockSpecs with H from q, so GQA
+    (num_kv_heads < num_heads) configs must use the sdpa fallback — asserted
+    explicitly rather than failing as a Mosaic shape error. (The flagship
+    Aria shape is 20/20 MHA, gptfast/model.py:56-59.)"""
     B, H, D = q.shape
-    L, _, _, S, _ = k_cache.shape
+    L, _, H_kv, S, _ = k_cache.shape
+    assert H_kv == H, (
+        f"decode_attention kernel requires num_kv_heads == num_heads "
+        f"(got {H_kv} != {H}); use the sdpa fallback for GQA"
+    )
     bs = next((b for b in (block_s, 512, 256, 128) if S % b == 0), None)
     assert bs is not None, f"cache length {S} must be divisible by 128"
     bs = min(bs, S)

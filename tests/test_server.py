@@ -43,6 +43,30 @@ class TestBatchedEngine:
         for uid, exp in zip(uids, expected):
             assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
 
+    def test_batched_int8_kv_matches_single_engine_int8(self):
+        """Regression: the lane prefill must carry k_scale/v_scale through the
+        slice/update; dropping them raw-casts bf16 K/V to int8 and decodes
+        garbage (round-1 advisor high finding)."""
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.int8)
+        server = BatchedEngine(
+            params, TINY, max_lanes=2, max_seq_len=128,
+            temperature=0.0, decode_chunk=4, cache_dtype=jnp.int8,
+        )
+        prompts = [[5, 17, 3], [9, 9, 200, 41, 7]]
+        n_new = 8
+        expected = [
+            single.generate(
+                p, GenerationConfig(max_new_tokens=n_new, temperature=0.0, top_k=None)
+            ).tokens
+            for p in prompts
+        ]
+        uids = [server.submit(p, max_new_tokens=n_new) for p in prompts]
+        finished = server.run_until_complete()
+        by_uid = {r.uid: r for r in finished}
+        for uid, exp in zip(uids, expected):
+            assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
+
     def test_more_requests_than_lanes(self):
         params = make_params()
         server = BatchedEngine(
