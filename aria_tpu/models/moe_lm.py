@@ -32,7 +32,12 @@ from aria_tpu.ops.moe import (
     route_topk,
 )
 from aria_tpu.ops.norms import rms_norm
-from aria_tpu.ops.quant import dequantize_expert_weights, is_quantized, linear as qlinear
+from aria_tpu.ops.quant import (
+    dequantize_expert_weights,
+    is_quantized,
+    is_quantized_int4,
+    linear as qlinear,
+)
 from aria_tpu.ops.rope import apply_rope, precompute_rope
 
 # Below this many tokens the gathered-weights decode path beats the
@@ -262,7 +267,12 @@ def _moe_ffn(
     # expert stacks carry num_shared extra always-on experts; every token gets
     # fixed extra slots with combine weight 1 and the separate shared-MLP
     # einsums disappear.
-    E_stack = (w1_full["q"] if is_quantized(w1_full) else w1_full).shape[1]
+    if is_quantized_int4(w1_full):
+        E_stack = w1_full["q4"].shape[1]
+    elif is_quantized(w1_full):
+        E_stack = w1_full["q"].shape[1]
+    else:
+        E_stack = w1_full.shape[1]
     shared_fused = E_stack == cfg.num_experts + cfg.num_shared_experts
     if shared_fused:
         ns = cfg.num_shared_experts
@@ -281,12 +291,22 @@ def _moe_ffn(
         and not has_expert_lora
     )
     if use_decode_kernel:
-        from aria_tpu.ops.moe_decode_kernel import moe_decode, moe_decode_quant
+        from aria_tpu.ops.moe_decode_kernel import (
+            moe_decode,
+            moe_decode_int4,
+            moe_decode_quant,
+        )
 
         I = cfg.moe_intermediate_size
         ft = next((f for f in (512, 256, 128) if I % f == 0), None)
         if not ft:
             use_decode_kernel = False
+        elif is_quantized_int4(w1_full):
+            expert_out = moe_decode_int4(
+                flat, indices, weights,
+                w1_full["q4"], w1_full["sg"], w2_full["q4"], w2_full["s8"],
+                layer_idx, ft=ft,
+            )
         elif is_quantized(w1_full):
             expert_out = moe_decode_quant(
                 flat, indices, weights,
@@ -299,9 +319,9 @@ def _moe_ffn(
             )
     if not use_decode_kernel:
         def _slice(w):
-            if is_quantized(w):
+            if isinstance(w, dict):
                 return {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
-                        for k2, v in w.items() if k2 in ("q", "s")}
+                        for k2, v in w.items() if k2 in ("q", "s", "q4", "sg", "s8")}
             return jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
 
         w1, w2 = dequantize_expert_weights(_slice(w1_full), _slice(w2_full), dtype=x.dtype)

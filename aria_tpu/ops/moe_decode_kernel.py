@@ -108,6 +108,64 @@ def _kernel_q(meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref, sg_ref, su_r
     )
 
 
+def _unpack4(p, dtype):
+    """Unpack a [R, C] int8 ref slice holding paired nibbles (lo = first half
+    of the span, hi = second): returns [R, 2C] dtype. Shifts run in int32 —
+    Mosaic cannot legalize shifts on int8 vectors."""
+    b = p.astype(jnp.int32)
+    lo = ((b << 28) >> 28).astype(dtype)  # arithmetic shifts sign-extend
+    hi = ((b << 24) >> 28).astype(dtype)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _body_q4(x_ref, w1g_p, w1u_p, w2_p, sgg, sgu, s2, out_ref, t, slot_w,
+             ng, gs):
+    """int4 body: groupwise sub-dots over D for w1 (per-group scales), one
+    unpack+dot for w2 (rank-1 scales: r folded into sgu, c/7 in s2)."""
+    x_all = x_ref[:]  # [T, D]
+    T, D = x_all.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
+    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
+
+    gsp = gs // 2
+    gate = None
+    up = None
+    for g in range(ng):
+        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=1)  # [1, gs]
+        wg = _unpack4(w1g_p[:, g * gsp : (g + 1) * gsp], xg.dtype)  # [ft, gs]
+        wu = _unpack4(w1u_p[:, g * gsp : (g + 1) * gsp], xg.dtype)
+        dg = jax.lax.dot_general(xg, wg, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32) * sgg[g : g + 1, :]
+        du = jax.lax.dot_general(xg, wu, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32) * sgu[g : g + 1, :]
+        gate = dg if gate is None else gate + dg
+        up = du if up is None else up + du
+    h = (gate * jax.lax.logistic(gate)) * up  # [1, ft] fp32
+
+    w2 = _unpack4(w2_p, x.dtype)  # [ft, D]
+    partial = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32)
+    partial = partial * s2  # [1, D] * c/7
+    out_ref[:] += jnp.where(row_ids == t, slot_w * partial, 0.0)
+
+
+def _kernel_q4(ng, gs, meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref,
+               sgg_ref, sgu_ref, s2_ref, out_ref):
+    f = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(f == 0, s == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    t = meta_ref[S + s]
+    _body_q4(
+        x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0],
+        sgg_ref[0, 0], sgu_ref[0, 0], s2_ref[0, 0, 0:1, :], out_ref,
+        t, wsort_ref[s], ng, gs,
+    )
+
+
 def _pack_meta(layer_idx, indices, weights):
     """int32 scalar-prefetch array [expert_by_slot | token_by_slot | layer_idx]
     plus the f32 sorted combine weights."""
@@ -194,6 +252,67 @@ def moe_decode(
         _kernel, _specs(ft, nf, D, n_slots, quant=False), (nf, n_slots),
         jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
         meta, wsort, x, w1, w1, w2,
+    )
+    return out.astype(x.dtype)
+
+
+def _specs_q4(ft, nf, Dp, D, n_slots):
+    """Index maps for the int4 kernel: packed weight blocks + scale blocks."""
+    L_IDX = 2 * n_slots
+
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], f, 0),
+                     memory_space=pltpu.VMEM),  # w1 gate rows, packed
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], nf + f, 0),
+                     memory_space=pltpu.VMEM),  # w1 up rows, packed
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], f, 0),
+                     memory_space=pltpu.VMEM),  # w2 rows, packed over D
+        pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, f),
+                     memory_space=pltpu.VMEM),  # sg gate: rows = D-groups
+        pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, nf + f),
+                     memory_space=pltpu.VMEM),  # sg up (r folded in)
+        pl.BlockSpec((1, 1, 8, D), lambda f, s, m, w: (m[L_IDX], m[s], 0, 0),
+                     memory_space=pltpu.VMEM),  # s2 = c/7
+    ]
+    return specs
+
+
+@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
+def moe_decode_int4(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k] int32
+    weights: Array,  # [T, k]
+    w1q4: Array,  # int8 [L, E, 2I, D/2] within-group nibble pairs
+    w1_sg: Array,  # f32 [L, E, 8, 2I] rows 0..ng-1 = D-group scales
+    w2q4: Array,  # int8 [L, E, I, D/2] whole-row nibble pairs
+    w2_s8: Array,  # f32 [L, E, 8, D] rank-1 column scale c/7
+    layer_idx: Array,
+    *,
+    ft: int = 128,
+    interpret: bool = False,
+) -> Array:
+    """int4 variant of moe_decode: streams packed nibbles HBM->VMEM and
+    unpacks in-registers — HALF the decode HBM traffic of int8. This is what
+    fits the full 25.3B/64-expert model in one v5e and still feeds the MXU."""
+    from aria_tpu.ops.quant import int4_group_count
+
+    T, D = x.shape
+    k = indices.shape[1]
+    L, E, I2, Dp = w1q4.shape
+    I = I2 // 2
+    assert I % ft == 0
+    nf = I // ft
+    ng = int4_group_count(D)
+    gs = D // ng
+    n_slots = T * k
+
+    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    kernel = functools.partial(_kernel_q4, ng, gs)
+    out = _call(
+        kernel, _specs_q4(ft, nf, Dp, D, n_slots), (nf, n_slots),
+        jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
+        meta, wsort, x, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8,
     )
     return out.astype(x.dtype)
 

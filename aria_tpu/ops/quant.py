@@ -78,7 +78,12 @@ def fuse_shared_experts(params: dict, num_shared: int = 2) -> dict:
     layers = dict(lm["layers"])
     w1, w2 = layers["w1"], layers["w2"]
     quant = is_quantized(w1)
-    L, E, I2, D = (w1["q"] if quant else w1).shape
+    int4 = is_quantized_int4(w1)
+    if int4:
+        L, E, I2, Dp = w1["q4"].shape
+        D = 2 * Dp
+    else:
+        L, E, I2, D = (w1["q"] if quant else w1).shape
     I = I2 // 2
     sw1, sw2 = layers.pop("shared_w1"), layers.pop("shared_w2")  # [L,D,2Is], [L,Is,D]
     if is_quantized(sw1):
@@ -95,7 +100,11 @@ def fuse_shared_experts(params: dict, num_shared: int = 2) -> dict:
     v_w1 = jnp.concatenate([g, u], axis=2)  # [L, ns, 2I, D] out-major
     v_w2 = sw2.reshape(L, num_shared, I, D)
 
-    if quant:
+    if int4:
+        qv1, qv2 = quantize_expert_int4(v_w1, v_w2)
+        layers["w1"] = {k: jnp.concatenate([w1[k], qv1[k]], axis=1) for k in w1}
+        layers["w2"] = {k: jnp.concatenate([w2[k], qv2[k]], axis=1) for k in w2}
+    elif quant:
         qv1 = _with_s8(quantize_weight(v_w1, input_axis=-1))
         qv2 = _with_s8(quantize_weight(v_w2, input_axis=-2))
         layers["w1"] = {k: jnp.concatenate([w1[k], qv1[k]], axis=1) for k in w1}
@@ -138,6 +147,147 @@ def quantize_params(params: dict) -> dict:
 
 def dequantize_expert_weights(w1, w2, dtype=jnp.bfloat16):
     """Materialize fp expert weights for the XLA (non-kernel) paths."""
+    if is_quantized_int4(w1):
+        return dequantize_w1_int4(w1, dtype), dequantize_w2_int4(w2, dtype)
     w1d = dequantize_weight(w1, input_axis=-1, dtype=dtype) if is_quantized(w1) else w1
     w2d = dequantize_weight(w2, input_axis=-2, dtype=dtype) if is_quantized(w2) else w2
     return w1d, w2d
+
+
+# --------------------------------------------------------------------- int4
+#
+# Weight-only int4 for the expert stacks — the capacity play that fits the
+# FULL 25.3B/64-expert model in one v5e's 16GB HBM (the reference's whole-
+# model-on-one-accelerator headline, README.md:41, needs 80GB at bf16).
+#
+# Format (all shapes carry the leading [L, E]):
+#   w1: {"q4": int8 [L, E, 2I, D/2], "sg": f32 [L, E, 8, 2I]}
+#       - 4-bit values packed two-per-byte with WITHIN-GROUP pairing: the D
+#         axis is split into `ng` groups of `gs` columns; inside each group,
+#         column j rides the low nibble and column j+gs/2 the high nibble of
+#         packed column j. A kernel that loads any 128-aligned slice of
+#         packed group columns can therefore unpack it locally (one shift
+#         pair + lane concat), and groups stay contiguous.
+#       - sg rows 0..ng-1 hold the per-(D-group, output-row) scales
+#         (amax/7 over the group); rows ng..7 are padding so the scale
+#         block obeys the (8, 128) tile rule at no extra memory vs the int8
+#         path's broadcast "s8".
+#   w2: {"q4": int8 [L, E, I, D/2], "s8": f32 [L, E, 8, D]}
+#       - packed over the OUTPUT axis D with whole-row pairing (column j
+#         pairs with j+D/2): consumers always load full rows, so unpacking
+#         is one shift pair + one concat.
+#       - scales are rank-1 factorized: |w2| ~= r[i] * c[d]. The column
+#         factor c/7 is stored broadcast as "s8" and applied post-matmul;
+#         the row factor r is FOLDED into w1's up-half scales (h = silu(g) *
+#         up enters w2 multiplicatively, so scaling up by r and w2 by 1/r is
+#         exact). Per-element rank-1 scales at zero runtime cost.
+
+INT4_GROUP_LANES = 256  # packed group slice must be a 128-lane multiple
+
+
+def int4_group_count(D: int) -> int:
+    """Largest ng in 1..8 with D % ng == 0 and (D//ng) % 256 == 0 (so the
+    packed half-group is 128-lane aligned); falls back to 1."""
+    for ng in range(8, 1, -1):
+        if D % ng == 0 and (D // ng) % INT4_GROUP_LANES == 0:
+            return ng
+    return 1
+
+
+def is_quantized_int4(w: Any) -> bool:
+    return isinstance(w, dict) and "q4" in w
+
+
+def pack_int4(q: Array, group: int) -> Array:
+    """Pack int4 values (int8 storage, range [-8, 7]) two-per-byte with
+    within-group pairing along the last axis."""
+    *lead, A = q.shape
+    assert A % group == 0 and group % 2 == 0, (A, group)
+    qr = q.reshape(*lead, A // group, 2, group // 2)
+    lo = qr[..., 0, :] & 0xF
+    hi = qr[..., 1, :] << 4  # int8 wrap is the desired low byte
+    return (lo | hi).astype(jnp.int8).reshape(*lead, A // 2)
+
+
+def unpack_int4(p: Array, group: int, dtype=jnp.bfloat16) -> Array:
+    """Inverse of pack_int4 (int8 shift arithmetic, no int32 temps)."""
+    *lead, Ap = p.shape
+    gp = group // 2
+    pr = p.reshape(*lead, Ap // gp, gp)
+    lo = ((pr << 4) >> 4).astype(dtype)  # arithmetic shifts sign-extend
+    hi = (pr >> 4).astype(dtype)
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * Ap)
+
+
+def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
+    """Quantize one (or a stack of) expert weight pair(s) to the int4 format.
+
+    w1: [..., 2I, D] out-major; w2: [..., I, D]. Returns (w1_dict, w2_dict).
+    """
+    *lead, R, D = w1.shape
+    I = R // 2
+    ng = int4_group_count(D)
+    gs = D // ng
+
+    w1f = w1.astype(jnp.float32).reshape(*lead, R, ng, gs)
+    amax1 = jnp.max(jnp.abs(w1f), axis=-1)  # [..., R, ng]
+    sg = jnp.maximum(amax1 / 7.0, 1e-8)
+    q1 = jnp.clip(jnp.round(w1f / sg[..., None]), -8, 7).astype(jnp.int8)
+    q1 = q1.reshape(*lead, R, D)
+
+    # rank-1 scale fit for w2: r per input row (amax over D), c per output col
+    w2f = w2.astype(jnp.float32)
+    a2 = jnp.abs(w2f)
+    r = jnp.maximum(jnp.max(a2, axis=-1), 1e-8)  # [..., I]
+    c = jnp.maximum(jnp.max(a2 / r[..., None], axis=-2), 1e-8)  # [..., D]
+    s2_elem = r[..., :, None] * c[..., None, :] / 7.0
+    q2 = jnp.clip(jnp.round(w2f / s2_elem), -8, 7).astype(jnp.int8)
+
+    # fold r into the up-half group scales: dequant(w1_up) = up * r per row
+    sg = sg.at[..., I:, :].multiply(r[..., None])
+
+    def _pad8(s):  # [..., R, ng] -> [..., 8, R] rows 0..ng-1 = groups
+        s = jnp.swapaxes(s, -1, -2)  # [..., ng, R]
+        pad = [(0, 0)] * (s.ndim - 2) + [(0, 8 - ng), (0, 0)]
+        return jnp.pad(s, pad)
+
+    w1_dict = {"q4": pack_int4(q1, gs), "sg": _pad8(sg).astype(jnp.float32)}
+    c8 = jnp.broadcast_to((c / 7.0)[..., None, :], c.shape[:-1] + (8, D))
+    w2_dict = {"q4": pack_int4(q2, D), "s8": jnp.array(c8, jnp.float32)}
+    return w1_dict, w2_dict
+
+
+def dequantize_w1_int4(w1: dict, dtype=jnp.bfloat16) -> Array:
+    q4, sg = w1["q4"], w1["sg"]
+    *lead, R, Dp = q4.shape
+    D = 2 * Dp
+    ng = int4_group_count(D)
+    gs = D // ng
+    vals = unpack_int4(q4, gs, jnp.float32).reshape(*lead, R, ng, gs)
+    s = jnp.swapaxes(sg[..., :ng, :], -1, -2)  # [..., R, ng]
+    return (vals * s[..., None].astype(jnp.float32)).reshape(*lead, R, D).astype(dtype)
+
+
+def dequantize_w2_int4(w2: dict, dtype=jnp.bfloat16) -> Array:
+    q4, s8 = w2["q4"], w2["s8"]
+    *lead, I, Dp = q4.shape
+    D = 2 * Dp
+    vals = unpack_int4(q4, D, jnp.float32)
+    return (vals * s8[..., 0:1, :].astype(jnp.float32)).astype(dtype)
+
+
+def quantize_lm_params_int4(lm_params: dict) -> dict:
+    """Serving transform: expert stacks -> int4, other large weights -> int8,
+    embed -> int8 (dequantized per lookup). Apply AFTER fuse_shared_experts
+    (or before; fuse handles both formats)."""
+    layers = dict(lm_params["layers"])
+    for key in ("wqkv", "wo", "shared_w1"):
+        if key in layers:
+            layers[key] = quantize_weight(layers[key], input_axis=-2)
+    if "shared_w2" in layers:
+        layers["shared_w2"] = quantize_weight(layers["shared_w2"], input_axis=-2)
+    layers["w1"], layers["w2"] = quantize_expert_int4(layers["w1"], layers["w2"])
+    out = dict(lm_params)
+    out["layers"] = layers
+    out["lm_head"] = quantize_weight(lm_params["lm_head"], input_axis=-2)
+    return out

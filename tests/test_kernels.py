@@ -13,8 +13,14 @@ import pytest
 from aria_tpu.ops.attention import sdpa
 from aria_tpu.ops.decode_attention import decode_attention
 from aria_tpu.ops.moe import experts_gather, route_topk
-from aria_tpu.ops.moe_decode_kernel import moe_decode, moe_decode_quant
-from aria_tpu.ops.quant import _with_s8, dequantize_weight, quantize_weight
+from aria_tpu.ops.moe_decode_kernel import moe_decode, moe_decode_int4, moe_decode_quant
+from aria_tpu.ops.quant import (
+    _with_s8,
+    dequantize_expert_weights,
+    dequantize_weight,
+    quantize_expert_int4,
+    quantize_weight,
+)
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +58,23 @@ class TestMoEDecodeKernel:
             got = moe_decode_quant(s["x"], r.indices, r.weights,
                                    w1q["q"], w1q["s8"], w2q["q"], w2q["s8"],
                                    jnp.int32(l), ft=256, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+    def test_int4_variant(self, moe_setup):
+        """int4 kernel must match the XLA path run on the DEQUANTIZED weights
+        exactly (same values through a different pipeline); int4-vs-fp error
+        itself is covered in test_quant.py."""
+        s = moe_setup
+        r = route_topk(s["x"], s["gate"], s["k"])
+        w1q, w2q = quantize_expert_int4(s["w1"], s["w2"])
+        for l in range(s["L"]):
+            w1d, w2d = dequantize_expert_weights(
+                {k2: v[l] for k2, v in w1q.items()},
+                {k2: v[l] for k2, v in w2q.items()}, dtype=jnp.float32)
+            ref = experts_gather(s["x"], r.indices, r.weights, w1d, w2d)
+            got = moe_decode_int4(s["x"], r.indices, r.weights,
+                                  w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                                  jnp.int32(l), ft=256, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
     def test_single_token(self, moe_setup):
