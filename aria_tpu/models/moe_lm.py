@@ -15,6 +15,7 @@ autograd hack (moe_lm.py:84-125).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -112,6 +113,102 @@ def init_lm_params(rng: jax.Array, cfg: TextConfig, dtype=jnp.bfloat16) -> dict:
         },
         "final_norm": jnp.ones((D,), dtype),
         "lm_head": dense(next(keys), (D, cfg.vocab_size), D),
+    }
+
+
+def init_lm_params_serving_int4(
+    rng: jax.Array,
+    cfg: TextConfig,
+    *,
+    fuse_shared: bool = True,
+    expert_chunk: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Random-init the decoder DIRECTLY in serving form: int4 expert stacks
+    (shared experts fused as always-on virtual experts), int8 attention/head
+    weights.
+
+    The bf16 64-expert stacks are ~42GB — they can never be materialized on a
+    16GB chip — so experts are generated and quantized in [expert_chunk]-sized
+    slabs written into preallocated packed buffers (in-place via donation).
+    This is the synthetic-weights analogue of a quantize-on-load checkpoint
+    import (checkpoint/io.py streams real safetensors the same way).
+    """
+    from aria_tpu.ops.quant import quantize_expert_int4, quantize_weight
+
+    keys = iter(jax.random.split(rng, 16))
+
+    def dense(key, shape, scale_dim):
+        return (jax.random.normal(key, shape, jnp.float32) * (scale_dim**-0.5)).astype(dtype)
+
+    L, D, E = cfg.num_layers, cfg.hidden_size, cfg.num_experts
+    I = cfg.moe_intermediate_size
+    E_t = E + (cfg.num_shared_experts if fuse_shared else 0)
+    qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+
+    layers = {
+        "attn_norm": jnp.ones((L, D), dtype),
+        "ffn_norm": jnp.ones((L, D), dtype),
+        "wqkv": quantize_weight(dense(next(keys), (L, D, qkv_out), D)),
+        "wo": quantize_weight(dense(next(keys), (L, cfg.q_size, D), cfg.q_size)),
+        "gate": dense(next(keys), (L, E, D), D).astype(jnp.float32),
+    }
+    if not fuse_shared:
+        Is = cfg.shared_intermediate_size
+        layers["shared_w1"] = quantize_weight(dense(next(keys), (L, D, 2 * Is), D))
+        layers["shared_w2"] = quantize_weight(dense(next(keys), (L, Is, D), Is))
+
+    if expert_chunk is None:
+        # largest divisor of E_t <= 11 keeps the f32 quantization temps
+        # under ~400MB and avoids a trim copy of the packed buffers
+        expert_chunk = next(d for d in range(11, 0, -1) if E_t % d == 0)
+    expert_key = next(keys)
+    n_chunks = -(-E_t // expert_chunk)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_chunk(bufs, key, l, e0):
+        k1, k2 = jax.random.split(key)
+        w1 = (jax.random.normal(k1, (expert_chunk, 2 * I, D), jnp.float32)
+              * (D**-0.5)).astype(dtype)
+        w2 = (jax.random.normal(k2, (expert_chunk, I, D), jnp.float32)
+              * (I**-0.5)).astype(dtype)
+        q1, q2 = quantize_expert_int4(w1, w2)
+        new = {}
+        for name, src in (("w1", q1), ("w2", q2)):
+            for leaf, v in src.items():
+                new[(name, leaf)] = jax.lax.dynamic_update_slice(
+                    bufs[(name, leaf)], v[None], (l, e0) + (0,) * (v.ndim - 1)
+                )
+        return new
+
+    # probe output shapes with a tiny eval_shape, then preallocate
+    shapes = jax.eval_shape(
+        lambda k: quantize_expert_int4(
+            jnp.zeros((expert_chunk, 2 * I, D), dtype), jnp.zeros((expert_chunk, I, D), dtype)
+        ),
+        expert_key,
+    )
+    E_pad = n_chunks * expert_chunk
+    bufs = {}
+    for name, src in (("w1", shapes[0]), ("w2", shapes[1])):
+        for leaf, v in src.items():
+            bufs[(name, leaf)] = jnp.zeros((L, E_pad) + v.shape[1:], v.dtype)
+
+    for l in range(L):
+        for c in range(n_chunks):
+            key = jax.random.fold_in(expert_key, l * n_chunks + c)
+            bufs = fill_chunk(bufs, key, l, c * expert_chunk)
+
+    if E_pad != E_t:  # trim chunk padding (one copy of the packed buffers)
+        bufs = {k2: v[:, :E_t] for k2, v in bufs.items()}
+    layers["w1"] = {leaf: bufs[("w1", leaf)] for leaf in shapes[0]}
+    layers["w2"] = {leaf: bufs[("w2", leaf)] for leaf in shapes[1]}
+
+    return {
+        "embed": dense(next(keys), (cfg.vocab_size, D), D),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": quantize_weight(dense(next(keys), (D, cfg.vocab_size), D)),
     }
 
 
@@ -317,6 +414,24 @@ def _moe_ffn(
             expert_out = moe_decode(
                 flat, indices, weights, w1_full, w2_full, layer_idx, ft=ft,
             )
+    if not use_decode_kernel and (
+        is_quantized_int4(w1_full) and use_pallas() and not training
+        and not has_expert_lora
+    ):
+        # Prefill over packed int4: consume the nibbles directly — a per-layer
+        # bf16 dequant (~1.3GB at flagship scale) would not fit beside the
+        # resident full model and triples the weight traffic.
+        from aria_tpu.ops.moe_prefill_kernel import experts_segmented_int4
+
+        I = cfg.moe_intermediate_size
+        ft = next((f for f in (512, 256, 128) if I % f == 0), None)
+        if ft:
+            expert_out = experts_segmented_int4(
+                flat, indices, weights,
+                w1_full["q4"], w1_full["sg"], w2_full["q4"], w2_full["s8"],
+                layer_idx, ft=ft,
+            )
+            use_decode_kernel = True  # expert_out computed; skip fallback
     if not use_decode_kernel:
         def _slice(w):
             if isinstance(w, dict):

@@ -84,6 +84,20 @@ def bench_batched(params, cfg, args):
     }))
 
 
+def build_int4_params(cfg, with_image: bool):
+    """FULL-model serving init: int4 expert stacks streamed into place (the
+    bf16 64-expert stacks are ~42GB and can never exist on a 16GB chip)."""
+    from aria_tpu.models.moe_lm import init_lm_params_serving_int4
+    from aria_tpu.models.projector import init_projector_params
+    from aria_tpu.models.vit import init_vit_params
+
+    params = {"lm": init_lm_params_serving_int4(jax.random.PRNGKey(0), cfg.text)}
+    if with_image:
+        params["vision"] = init_vit_params(jax.random.PRNGKey(1), cfg.vision, jnp.bfloat16)
+        params["projector"] = init_projector_params(jax.random.PRNGKey(2), cfg.projector, jnp.bfloat16)
+    return params
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--experts", type=int, default=8)
@@ -99,26 +113,38 @@ def main():
                     help="long-context mode: text prompt of this many tokens")
     ap.add_argument("--kv-int8", action="store_true",
                     help="quantize the KV cache to int8 (2x context capacity)")
+    ap.add_argument("--int4", action="store_true",
+                    help="FULL 64-expert model, int4 expert weights (25.3B on one chip)")
     args = ap.parse_args()
 
+    if args.int4:
+        args.experts = 64
     cfg = bench_config(args.experts, args.layers)
     t0 = time.perf_counter()
-    params = jax.jit(
-        lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
-
-    # quantize FIRST (halves the stacks), then fuse the shared experts into
-    # the expert stacks so they ride the decode kernel — fusing bf16 first
-    # would peak above HBM.
-    if not args.bf16:
-        params = jax.jit(quantize_params, donate_argnums=0)(params)
+    if args.int4:
+        params = build_int4_params(cfg, with_image=not (args.no_image or args.ctx))
         jax.block_until_ready(params)
-    params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
-    jax.block_until_ready(params)
-    print(f"# init: {time.perf_counter() - t0:.1f}s "
-          f"({sum(x.size for x in jax.tree.leaves(params)) / 1e9:.2f}B params)", flush=True)
+        n_params = sum(
+            (2 * x.size if x.dtype == jnp.int8 and x.ndim >= 4 else x.size)
+            for x in jax.tree.leaves(params)
+        )  # packed int4 leaves hold two params per byte
+    else:
+        params = jax.jit(
+            lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
+
+        # quantize FIRST (halves the stacks), then fuse the shared experts into
+        # the expert stacks so they ride the decode kernel — fusing bf16 first
+        # would peak above HBM.
+        if not args.bf16:
+            params = jax.jit(quantize_params, donate_argnums=0)(params)
+            jax.block_until_ready(params)
+        params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+        jax.block_until_ready(params)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"# init: {time.perf_counter() - t0:.1f}s ({n_params / 1e9:.2f}B params)", flush=True)
 
     if args.lanes:
         bench_batched(params, cfg, args)
@@ -162,8 +188,13 @@ def main():
         suffix += "_kv8"
     if args.ctx:
         suffix += f"_ctx{args.ctx}"
+    name = f"decode_tok_s_1chip_ep8_shard_equiv{suffix}"
+    if args.int4:
+        # the whole 25.3B/64-expert model resident on ONE chip — the
+        # reference's README.md:41 claim, at 1/5th the HBM
+        name = f"decode_tok_s_1chip_full64_int4{suffix.replace('_int8', '')}"
     print(json.dumps({
-        "metric": f"decode_tok_s_1chip_ep8_shard_equiv{suffix}",
+        "metric": name,
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),

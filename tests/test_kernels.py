@@ -87,6 +87,40 @@ class TestMoEDecodeKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+class TestMoEPrefillKernel:
+    def test_segment_dispatch_tiles_are_single_expert(self, moe_setup):
+        from aria_tpu.ops.moe_prefill_kernel import TM, segment_dispatch
+
+        s = moe_setup
+        r = route_topk(s["x"], s["gate"], s["k"])
+        dest, tile_e, R = segment_dispatch(r.indices, 8)
+        dest, tile_e = np.asarray(dest), np.asarray(tile_e)
+        flat_e = np.asarray(r.indices).reshape(-1)
+        assert len(set(dest.tolist())) == dest.size  # no collisions
+        for slot, row in enumerate(dest):
+            assert tile_e[row // TM] == flat_e[slot]  # slot lands in its expert's tile
+
+    def test_int4_prefill_matches_gather(self, moe_setup):
+        from aria_tpu.ops.moe_prefill_kernel import experts_segmented_int4
+
+        s = moe_setup
+        T = 40  # prefill-sized: beyond the decode-kernel token bound
+        x = jnp.concatenate([s["x"]] * 8)[:T]
+        r = route_topk(x, s["gate"], s["k"])
+        w1q, w2q = quantize_expert_int4(s["w1"], s["w2"])
+        for l in range(s["L"]):
+            w1d, w2d = dequantize_expert_weights(
+                {k2: v[l] for k2, v in w1q.items()},
+                {k2: v[l] for k2, v in w2q.items()}, dtype=jnp.float32)
+            ref = experts_gather(x, r.indices, r.weights, w1d, w2d)
+            got = experts_segmented_int4(
+                x, r.indices, r.weights,
+                w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                jnp.int32(l), ft=256, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=5e-3, atol=5e-3)
+
+
 class TestDecodeAttentionKernel:
     def _setup(self):
         rng = np.random.RandomState(1)
