@@ -60,7 +60,9 @@ def prepare_embeddings(
     pixel_values: Optional[Array] = None,
     pixel_mask: Optional[Array] = None,
 ) -> Array:
-    embeds = params["lm"]["embed"][tokens]
+    from aria_tpu.models.moe_lm import embed_tokens
+
+    embeds = embed_tokens(params["lm"]["embed"], tokens)
     if pixel_values is not None:
         feats = encode_images(params, cfg, pixel_values, pixel_mask)
         embeds = scatter_image_features(embeds, tokens, feats, cfg.image_token_id)
@@ -82,6 +84,7 @@ def aria_forward(
     lora: Optional[dict] = None,  # {"lm": {"layers": {...}}}
     lora_scale: float = 0.0,
     remat: bool = False,
+    mesh=None,  # enables context parallelism when mesh["context"] > 1
 ) -> LMOutput:
     embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
     return lm_forward(
@@ -89,7 +92,7 @@ def aria_forward(
         positions=positions, mask=mask, cache=cache, cache_pos=cache_pos,
         training=training,
         lora=lora["lm"] if lora is not None else None, lora_scale=lora_scale,
-        remat=remat,
+        remat=remat, mesh=mesh,
     )
 
 

@@ -146,18 +146,6 @@ def init_lm_params_serving_int4(
     E_t = E + (cfg.num_shared_experts if fuse_shared else 0)
     qkv_out = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
 
-    layers = {
-        "attn_norm": jnp.ones((L, D), dtype),
-        "ffn_norm": jnp.ones((L, D), dtype),
-        "wqkv": quantize_weight(dense(next(keys), (L, D, qkv_out), D)),
-        "wo": quantize_weight(dense(next(keys), (L, cfg.q_size, D), cfg.q_size)),
-        "gate": dense(next(keys), (L, E, D), D).astype(jnp.float32),
-    }
-    if not fuse_shared:
-        Is = cfg.shared_intermediate_size
-        layers["shared_w1"] = quantize_weight(dense(next(keys), (L, D, 2 * Is), D))
-        layers["shared_w2"] = quantize_weight(dense(next(keys), (L, Is, D), Is))
-
     if expert_chunk is None:
         # largest divisor of E_t <= 11 keeps the f32 quantization temps
         # under ~400MB and avoids a trim copy of the packed buffers
@@ -201,15 +189,45 @@ def init_lm_params_serving_int4(
 
     if E_pad != E_t:  # trim chunk padding (one copy of the packed buffers)
         bufs = {k2: v[:, :E_t] for k2, v in bufs.items()}
-    layers["w1"] = {leaf: bufs[("w1", leaf)] for leaf in shapes[0]}
-    layers["w2"] = {leaf: bufs[("w2", leaf)] for leaf in shapes[1]}
+
+    # Small/medium weights AFTER the big stacks: the multi-GB packed buffers
+    # claim contiguous HBM first, and each quantize's f32 temp is freed before
+    # the next (jitted individually so temps don't overlap).
+    from aria_tpu.ops.dense_int4 import quantize_dense_int4
+
+    q8 = jax.jit(quantize_weight, donate_argnums=0)
+    q4d = jax.jit(quantize_dense_int4, donate_argnums=0)
+    layers = {
+        "attn_norm": jnp.ones((L, D), dtype),
+        "ffn_norm": jnp.ones((L, D), dtype),
+        "wqkv": q4d(dense(next(keys), (L, D, qkv_out), D)),
+        "wo": q4d(dense(next(keys), (L, cfg.q_size, D), cfg.q_size)),
+        "gate": dense(next(keys), (L, E, D), D).astype(jnp.float32),
+        "w1": {leaf: bufs[("w1", leaf)] for leaf in shapes[0]},
+        "w2": {leaf: bufs[("w2", leaf)] for leaf in shapes[1]},
+    }
+    if not fuse_shared:
+        Is = cfg.shared_intermediate_size
+        layers["shared_w1"] = q8(dense(next(keys), (L, D, 2 * Is), D))
+        layers["shared_w2"] = q8(dense(next(keys), (L, Is, D), Is))
 
     return {
-        "embed": dense(next(keys), (cfg.vocab_size, D), D),
+        # int8 embed: dequantized per lookup; saves ~250MB resident at
+        # flagship scale (the full model lives within ~300MB of the HBM edge)
+        "embed": q8(dense(next(keys), (cfg.vocab_size, D), D)),
         "layers": layers,
         "final_norm": jnp.ones((D,), dtype),
-        "lm_head": quantize_weight(dense(next(keys), (D, cfg.vocab_size), D)),
+        "lm_head": q8(dense(next(keys), (D, cfg.vocab_size), D)),
     }
+
+
+def embed_tokens(embed, tokens: Array, dtype=None) -> Array:
+    """Token embedding lookup; supports int8-quantized tables
+    ({"q": [V, D] int8, "s": [D]}) dequantized per gathered row."""
+    if is_quantized(embed):
+        out = embed["q"][tokens].astype(jnp.float32) * embed["s"]
+        return out.astype(dtype or jnp.bfloat16)
+    return embed[tokens]
 
 
 def _lora_delta(x: Array, ab: dict, scale: float) -> Array:
@@ -230,9 +248,23 @@ def _attention(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
+    dense_q4: Optional[dict] = None,  # int4 wqkv/wo stacks (kept out of scan xs)
+    cp_mesh=None,  # context-parallel mesh: attention via Ulysses all-to-all
 ):
     B, S, _ = x.shape
-    qkv = qlinear(x, layer["wqkv"], "bsd,df->bsf")
+    if dense_q4 is not None:
+        from aria_tpu.ops.dense_int4 import dense_int4, dequantize_dense_int4
+
+        def _d4(h2d, w):
+            if use_pallas():
+                return dense_int4(h2d, w, layer_idx)
+            wl = {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
+                  for k2, v in w.items()}
+            return h2d @ dequantize_dense_int4(wl, dtype=h2d.dtype)
+
+        qkv = _d4(x.reshape(-1, x.shape[-1]), dense_q4["wqkv"]).reshape(B, S, -1)
+    else:
+        qkv = qlinear(x, layer["wqkv"], "bsd,df->bsf")
     if lora and "wqkv" in lora:
         qkv = qkv + _lora_delta(x, lora["wqkv"], lora_scale)
     qkv = qkv.astype(x.dtype)
@@ -290,7 +322,15 @@ def _attention(
     else:
         new_cache = None
 
-    if use_flash:
+    if cp_mesh is not None and cache_kv is None:
+        # Sequence-parallel causal attention over the `context` mesh axis
+        # (DeepSpeed-Ulysses head-scatter; parallel/context.py). The 64K
+        # multimodal context (reference README.md:13) runs here when one
+        # chip's HBM can't hold the activations.
+        from aria_tpu.parallel.context import ulysses_attention
+
+        out = ulysses_attention(q, k, v, cp_mesh, causal=True)
+    elif use_flash:
         # Causal attention within the current block: for a from-zero prefill
         # this equals attending over the cache prefix (kv <= qi < S), so the
         # cache is written but not read.
@@ -323,7 +363,10 @@ def _attention(
     else:
         out = sdpa(q, k, v, mask)
     out = out.reshape(B, S, q_size)
-    proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
+    if dense_q4 is not None:
+        proj = _d4(out.reshape(-1, q_size), dense_q4["wo"]).reshape(B, S, -1)
+    else:
+        proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
     if lora and "wo" in lora:
         proj = proj + _lora_delta(out, lora["wo"], lora_scale)
     return proj.astype(x.dtype), new_cache
@@ -490,10 +533,11 @@ def lm_forward(
     lora_scale: float = 0.0,
     remat: bool = False,  # rematerialize each layer in backward (grad ckpt)
     causal_flash: Optional[bool] = None,  # caller asserts pure-causal-from-0 attention
+    mesh=None,  # context parallelism when mesh has a `context` axis > 1
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
-        x = params["embed"][tokens]
+        x = embed_tokens(params["embed"], tokens, dtype=params["final_norm"].dtype)
     else:
         x = inputs_embeds
     B, S, D = x.shape
@@ -502,13 +546,35 @@ def lm_forward(
         positions = jnp.arange(S, dtype=jnp.int32)
     cos, sin = precompute_rope(positions, cfg.head_dim, cfg.rope_base)
 
-    if mask is None and cache is None:
+    # Context parallelism: only for pure-causal uncached attention (training /
+    # long prefill); the caller's right-padded batches stay correct because
+    # causal order means valid queries never see trailing pad keys.
+    cp_mesh = None
+    if (
+        mesh is not None
+        and "context" in mesh.axis_names
+        and mesh.shape["context"] > 1
+        and cache is None
+        and mask is None
+        and S % mesh.shape["context"] == 0
+        and cfg.num_heads % mesh.shape["context"] == 0
+    ):
+        cp_mesh = mesh
+
+    if mask is None and cache is None and cp_mesh is None:
         qi = jnp.arange(S)
         mask = (qi[None, :] <= qi[:, None])[None, None]
 
+    from aria_tpu.ops.dense_int4 import is_dense_int4
+
     layers = params["layers"]
-    # Expert stacks stay OUT of the scan xs (see _moe_ffn docstring).
-    xs_layers = {k: v for k, v in layers.items() if k not in ("w1", "w2")}
+    # Expert stacks stay OUT of the scan xs (see _moe_ffn docstring); so do
+    # int4 wqkv/wo (the kernel indexes the layer inside its BlockSpecs).
+    dense_q4 = None
+    if is_dense_int4(layers.get("wqkv")):
+        dense_q4 = {"wqkv": layers["wqkv"], "wo": layers["wo"]}
+    exclude = ("w1", "w2") + (("wqkv", "wo") if dense_q4 else ())
+    xs_layers = {k: v for k, v in layers.items() if k not in exclude}
     w1_full, w2_full = layers["w1"], layers["w2"]
     lora_layers = lora["layers"] if lora is not None else None
 
@@ -529,7 +595,8 @@ def lm_forward(
             kv, pos = None, None
         normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         out, new_kv = _attention(
-            layer, cfg, normed, cos, sin, mask, kv, pos, l_idx, lr, lora_scale, use_flash
+            layer, cfg, normed, cos, sin, mask, kv, pos, l_idx, lr, lora_scale,
+            use_flash, dense_q4, cp_mesh,
         )
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(

@@ -23,6 +23,7 @@ from aria_tpu.config import ProjectorConfig
 from aria_tpu.ops.activations import gelu_tanh
 from aria_tpu.ops.attention import sdpa
 from aria_tpu.ops.norms import layer_norm
+from aria_tpu.ops.quant import linear as qlinear
 
 
 def init_projector_params(rng: jax.Array, cfg: ProjectorConfig, dtype=jnp.bfloat16) -> dict:
@@ -70,10 +71,10 @@ def projector_forward(
     # CrossAttention (projector.py:73-102): pre-norms, then the module's own
     # projections, then MultiheadAttention's packed projections.
     q_in = layer_norm(queries, params["ln_q_w"], params["ln_q_b"], cfg.layer_norm_eps)
-    q1 = jnp.einsum("nqd,de->nqe", q_in, params["q_proj"])
+    q1 = qlinear(q_in, params["q_proj"], "nqd,de->nqe").astype(x.dtype)
     kv_in = layer_norm(x, params["ln_kv_w"], params["ln_kv_b"], cfg.layer_norm_eps)
-    k1 = jnp.einsum("npd,de->npe", kv_in, params["k_proj"])
-    v1 = jnp.einsum("npd,de->npe", kv_in, params["v_proj"])
+    k1 = qlinear(kv_in, params["k_proj"], "npd,de->npe").astype(x.dtype)
+    v1 = qlinear(kv_in, params["v_proj"], "npd,de->npe").astype(x.dtype)
 
     in_w, in_b = params["attn_in_w"], params["attn_in_b"]
     q2 = jnp.einsum("nqe,ef->nqf", q1, in_w[:, :E]) + in_b[:E]
@@ -87,9 +88,9 @@ def projector_forward(
     att = sdpa(
         q2.reshape(N, Q, H, Dh), k2.reshape(N, P, H, Dh), v2.reshape(N, P, H, Dh), attend
     ).reshape(N, Q, E)
-    att = jnp.einsum("nqe,ef->nqf", att, params["attn_out_w"]) + params["attn_out_b"]
-    att = jnp.einsum("nqe,ef->nqf", att, params["linear_w"]) + params["linear_b"]
+    att = (qlinear(att, params["attn_out_w"], "nqe,ef->nqf") + params["attn_out_b"]).astype(x.dtype)
+    att = (qlinear(att, params["linear_w"], "nqe,ef->nqf") + params["linear_b"]).astype(x.dtype)
 
     h = layer_norm(att, params["ln_ffn_w"], params["ln_ffn_b"], cfg.layer_norm_eps)
-    h = gelu_tanh(jnp.einsum("nqe,ef->nqf", h, params["ffn_in"]))
-    return jnp.einsum("nqf,fo->nqo", h, params["ffn_out"])
+    h = gelu_tanh(qlinear(h, params["ffn_in"], "nqe,ef->nqf")).astype(x.dtype)
+    return qlinear(h, params["ffn_out"], "nqf,fo->nqo").astype(x.dtype)

@@ -25,6 +25,7 @@ from aria_tpu.config import VisionConfig
 from aria_tpu.ops.activations import gelu_tanh
 from aria_tpu.ops.attention import sdpa
 from aria_tpu.ops.norms import layer_norm
+from aria_tpu.ops.quant import linear as qlinear
 
 
 class VisionOutput(NamedTuple):
@@ -122,9 +123,12 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
     pmask = pm2d.reshape(pm2d.shape[0], -1)  # [N, P]
 
     patches = _extract_patches(pixel_values, cfg.patch_size)
-    dtype = params["patch_embed_w"].dtype
+    pw = params["patch_embed_w"]
+    dtype = pw["q"].dtype if isinstance(pw, dict) else pw.dtype
+    if dtype == jnp.int8:
+        dtype = jnp.bfloat16
     x = (
-        jnp.einsum("npk,kd->npd", patches.astype(dtype), params["patch_embed_w"], preferred_element_type=jnp.float32).astype(dtype)
+        qlinear(patches.astype(dtype), pw, "npk,kd->npd").astype(dtype)
         + params["patch_embed_b"]
     )
     x = x + params["pos_embed"][pos_ids].astype(dtype)
@@ -140,9 +144,13 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
     def body(h, layer):
         normed = layer_norm(h, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
         N, P, D = normed.shape
-        q = (jnp.einsum("npd,de->npe", normed, layer["wq"]) + layer["bq"]).reshape(N, P, H, Dh)
-        k = (jnp.einsum("npd,de->npe", normed, layer["wk"]) + layer["bk"]).reshape(N, P, H, Dh)
-        v = (jnp.einsum("npd,de->npe", normed, layer["wv"]) + layer["bv"]).reshape(N, P, H, Dh)
+
+        def lin(t, w, b, spec):  # int8-capable projection, back to act dtype
+            return (qlinear(t, w, spec) + b).astype(h.dtype)
+
+        q = lin(normed, layer["wq"], layer["bq"], "npd,de->npe").reshape(N, P, H, Dh)
+        k = lin(normed, layer["wk"], layer["bk"], "npd,de->npe").reshape(N, P, H, Dh)
+        v = lin(normed, layer["wv"], layer["bv"], "npd,de->npe").reshape(N, P, H, Dh)
         if flash:
             # NaViT padding via segment ids (pad tokens = segment 0 attend
             # only each other; their outputs are ignored downstream).
@@ -151,12 +159,11 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
             att = flash_sdpa(q, k, v, q_valid=pmask, kv_valid=pmask).reshape(N, P, D)
         else:
             att = sdpa(q, k, v, attn_mask).reshape(N, P, D)
-        att = jnp.einsum("npd,de->npe", att, layer["wo"]) + layer["bo"]
+        att = lin(att, layer["wo"], layer["bo"], "npd,de->npe")
         h = h + att
         normed = layer_norm(h, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
-        mlp = jnp.einsum("npd,df->npf", normed, layer["fc1_w"]) + layer["fc1_b"]
-        mlp = gelu_tanh(mlp)
-        mlp = jnp.einsum("npf,fd->npd", mlp, layer["fc2_w"]) + layer["fc2_b"]
+        mlp = gelu_tanh(lin(normed, layer["fc1_w"], layer["fc1_b"], "npd,df->npf"))
+        mlp = lin(mlp, layer["fc2_w"], layer["fc2_b"], "npf,fd->npd")
         return h + mlp, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])

@@ -1,0 +1,133 @@
+"""Packed-int4 dense matmul for the attention projections.
+
+At flagship scale the decode step is HBM-bound and the full-model residency
+budget is within ~300MB of the chip's executable limit; wqkv/wo in int4
+(vs int8) both halves their per-token traffic (~0.37GB/token) and buys back
+the HBM the vision tower needs. Same nibble layout as the expert stacks
+(ops/quant.py): out-major [L, F, D/2] with within-group pairing over the
+contraction axis D and per-(D-group, output-column) scales [L, 8, F].
+
+One kernel serves decode (T<=32, row-padded to a sublane tile) and prefill
+(row-tiled grid); the weight stack is indexed by a scalar-prefetched
+layer_idx so it stays OUT of the layer scan (a scan-sliced pallas operand
+would materialize a full copy per layer per step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aria_tpu.ops.quant import int4_group_count, pack_int4
+
+
+def is_dense_int4(w) -> bool:
+    return isinstance(w, dict) and "q4t" in w
+
+
+def quantize_dense_int4(w: Array) -> dict:
+    """[L, D_in, F_out] (right-multiply layout) -> {"q4t": int8 [L, F, D/2],
+    "sg": bf16 [L, 8, F]} with groupwise scales over D."""
+    wt = jnp.swapaxes(w, -1, -2)  # out-major [L, F, D]
+    *lead, F, D = wt.shape
+    ng = int4_group_count(D)
+    gs = D // ng
+    wf = wt.astype(jnp.float32).reshape(*lead, F, ng, gs)
+    amax = jnp.max(jnp.abs(wf), axis=-1)  # [L, F, ng]
+    sg = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / sg[..., None]), -8, 7).astype(jnp.int8)
+    q = q.reshape(*lead, F, D)
+    sg = jnp.swapaxes(sg, -1, -2)  # [L, ng, F]
+    pad = [(0, 0)] * (sg.ndim - 2) + [(0, 8 - ng), (0, 0)]
+    return {
+        "q4t": pack_int4(q, gs),
+        "sg": jnp.pad(sg, pad).astype(jnp.bfloat16),
+    }
+
+
+def dequantize_dense_int4(w: dict, dtype=jnp.bfloat16) -> Array:
+    """Inverse transform back to [L, D, F] right-multiply layout."""
+    from aria_tpu.ops.quant import unpack_int4
+
+    q4t, sg = w["q4t"], w["sg"]
+    *lead, F, Dp = q4t.shape
+    D = 2 * Dp
+    ng = int4_group_count(D)
+    gs = D // ng
+    vals = unpack_int4(q4t, gs, jnp.float32).reshape(*lead, F, ng, gs)
+    s = jnp.swapaxes(sg[..., :ng, :], -1, -2).astype(jnp.float32)  # [L, F, ng]
+    wt = (vals * s[..., None]).reshape(*lead, F, D)
+    return jnp.swapaxes(wt, -1, -2).astype(dtype)
+
+
+def _unpack4(p, dtype):
+    b = p.astype(jnp.int32)
+    lo = ((b << 28) >> 28).astype(dtype)
+    hi = ((b << 24) >> 28).astype(dtype)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _kernel(ng, gs, l_ref, x_ref, w_ref, sg_ref, out_ref):
+    x = x_ref[:]  # [tm, D]
+    gsp = gs // 2
+    acc = None
+    for g in range(ng):
+        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=1)
+        wg = _unpack4(w_ref[0][:, g * gsp : (g + 1) * gsp], x.dtype)  # [tn, gs]
+        d = jax.lax.dot_general(xg, wg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        d = d * sg_ref[0][g : g + 1, :]  # [tm, tn] * [1, tn]
+        acc = d if acc is None else acc + d
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "interpret"))
+def dense_int4(
+    x: Array,  # [T, D]
+    w: dict,  # {"q4t": [L, F, D/2], "sg": [L, 8, F]}
+    layer_idx: Array,
+    *,
+    tn: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """x @ W[layer] over the packed stack. Returns [T, F] f32."""
+    T, D = x.shape
+    q4t, sg = w["q4t"], w["sg"]
+    L, F, Dp = q4t.shape
+    assert F % tn == 0, (F, tn)
+    ng = int4_group_count(D)
+    gs = D // ng
+
+    tm = -(-T // 8) * 8  # sublane-pad the token rows
+    if tm != T:
+        x = jnp.pad(x, ((0, tm - T), (0, 0)))
+    tm_blk = min(128, tm)
+    assert tm % tm_blk == 0
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, ng, gs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tm // tm_blk, F // tn),
+            in_specs=[
+                pl.BlockSpec((tm_blk, D), lambda r, n, l: (r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn, Dp), lambda r, n, l: (l[0], n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, tn), lambda r, n, l: (l[0], 0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm_blk, tn), lambda r, n, l: (r, n),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((tm, F), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, q4t, sg)
+    return out[:T]

@@ -145,6 +145,34 @@ def quantize_params(params: dict) -> dict:
     return out
 
 
+VIT_QUANT_KEYS = ("wq", "wk", "wv", "wo", "fc1_w", "fc2_w")
+PROJECTOR_QUANT_KEYS = (
+    "q_proj", "k_proj", "v_proj", "attn_out_w", "linear_w", "ffn_in", "ffn_out",
+)
+
+
+def quantize_vit_params(vit_params: dict) -> dict:
+    """int8 vision tower (weights are [L, in, out]; scale over out). Frees
+    ~400MB next to the full int4 LM — the difference between the image
+    prompt fitting on one chip or not."""
+    out = dict(vit_params)
+    out["patch_embed_w"] = quantize_weight(vit_params["patch_embed_w"], input_axis=-2)
+    layers = dict(vit_params["layers"])
+    for key in VIT_QUANT_KEYS:
+        layers[key] = quantize_weight(layers[key], input_axis=-2)
+    out["layers"] = layers
+    return out
+
+
+def quantize_projector_params(proj_params: dict) -> dict:
+    """int8 projector (attn_in_w stays fp: it is column-sliced into the three
+    packed MultiheadAttention projections before use)."""
+    out = dict(proj_params)
+    for key in PROJECTOR_QUANT_KEYS:
+        out[key] = quantize_weight(proj_params[key], input_axis=-2)
+    return out
+
+
 def dequantize_expert_weights(w1, w2, dtype=jnp.bfloat16):
     """Materialize fp expert weights for the XLA (non-kernel) paths."""
     if is_quantized_int4(w1):
@@ -251,9 +279,11 @@ def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
         pad = [(0, 0)] * (s.ndim - 2) + [(0, 8 - ng), (0, 0)]
         return jnp.pad(s, pad)
 
-    w1_dict = {"q4": pack_int4(q1, gs), "sg": _pad8(sg).astype(jnp.float32)}
+    # bf16 scales: ~0.4% scale error on top of the 4-bit weight noise, half
+    # the scale-buffer HBM (the full model needs every 100MB)
+    w1_dict = {"q4": pack_int4(q1, gs), "sg": _pad8(sg).astype(jnp.bfloat16)}
     c8 = jnp.broadcast_to((c / 7.0)[..., None, :], c.shape[:-1] + (8, D))
-    w2_dict = {"q4": pack_int4(q2, D), "s8": jnp.array(c8, jnp.float32)}
+    w2_dict = {"q4": pack_int4(q2, D), "s8": jnp.array(c8, jnp.bfloat16)}
     return w1_dict, w2_dict
 
 
@@ -280,14 +310,17 @@ def quantize_lm_params_int4(lm_params: dict) -> dict:
     """Serving transform: expert stacks -> int4, other large weights -> int8,
     embed -> int8 (dequantized per lookup). Apply AFTER fuse_shared_experts
     (or before; fuse handles both formats)."""
+    from aria_tpu.ops.dense_int4 import quantize_dense_int4
+
     layers = dict(lm_params["layers"])
-    for key in ("wqkv", "wo", "shared_w1"):
+    for key in ("wqkv", "wo"):
+        layers[key] = quantize_dense_int4(layers[key])
+    for key in ("shared_w1", "shared_w2"):
         if key in layers:
             layers[key] = quantize_weight(layers[key], input_axis=-2)
-    if "shared_w2" in layers:
-        layers["shared_w2"] = quantize_weight(layers["shared_w2"], input_axis=-2)
     layers["w1"], layers["w2"] = quantize_expert_int4(layers["w1"], layers["w2"])
     out = dict(lm_params)
     out["layers"] = layers
+    out["embed"] = quantize_weight(lm_params["embed"], input_axis=-2)
     out["lm_head"] = quantize_weight(lm_params["lm_head"], input_axis=-2)
     return out

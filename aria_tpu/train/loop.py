@@ -142,7 +142,8 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
         state = TrainState(lora, optimizer.init(lora), jnp.zeros((), jnp.int32))
 
         def jit_step(state, batch):
-            return lora_train_step(state, batch, params, cfg, lc.scale, optimizer, tc.gradient_checkpointing)
+            return lora_train_step(state, batch, params, cfg, lc.scale, optimizer,
+                                   tc.gradient_checkpointing, mesh=mesh)
     else:
         optimizer = make_optimizer(tc, params)
         if r.gradient_accumulation_steps > 1:
@@ -150,7 +151,7 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
         state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
         def jit_step(state, batch):
-            return train_step(state, batch, cfg, tc, optimizer)
+            return train_step(state, batch, cfg, tc, optimizer, mesh=mesh)
 
     step_fn = jax.jit(jit_step, donate_argnums=(0,))
 

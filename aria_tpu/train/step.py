@@ -100,7 +100,7 @@ def make_optimizer(tc: TrainConfig, params: Any) -> optax.GradientTransformation
     return optax.masked(opt, mask)
 
 
-def loss_fn(params, cfg: AriaConfig, batch: dict, remat: bool = False):
+def loss_fn(params, cfg: AriaConfig, batch: dict, remat: bool = False, mesh=None):
     out = aria_forward(
         params, cfg,
         batch["input_ids"],
@@ -109,14 +109,17 @@ def loss_fn(params, cfg: AriaConfig, batch: dict, remat: bool = False):
         mask=batch.get("attn_mask"),
         training=True,
         remat=remat,
+        mesh=mesh,
     )
     losses = causal_lm_loss(out, batch["labels"])
     return losses.loss, losses
 
 
-def train_step(state: TrainState, batch: dict, cfg: AriaConfig, tc: TrainConfig, optimizer):
-    """One optimizer step. jit this closed over (cfg, tc, optimizer)."""
-    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, cfg, batch, tc.gradient_checkpointing)
+def train_step(state: TrainState, batch: dict, cfg: AriaConfig, tc: TrainConfig, optimizer, mesh=None):
+    """One optimizer step. jit this closed over (cfg, tc, optimizer[, mesh])."""
+    (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, tc.gradient_checkpointing, mesh
+    )
     grads = _zero_frozen_layer_grads(grads, tc)
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -138,7 +141,7 @@ def init_train_state(params: Any, tc: TrainConfig) -> tuple[TrainState, optax.Gr
 
 # ---------------------------------------------------------------- LoRA
 
-def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scale: float, remat: bool = False):
+def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scale: float, remat: bool = False, mesh=None):
     out = aria_forward(
         params, cfg,
         batch["input_ids"],
@@ -147,7 +150,7 @@ def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scal
         mask=batch.get("attn_mask"),
         training=True,
         lora=lora, lora_scale=lora_scale,
-        remat=remat,
+        remat=remat, mesh=mesh,
     )
     losses = causal_lm_loss(out, batch["labels"])
     return losses.loss, losses
@@ -155,12 +158,12 @@ def lora_loss_fn(lora: Any, params: Any, cfg: AriaConfig, batch: dict, lora_scal
 
 def lora_train_step(
     state: TrainState, batch: dict, base_params: Any,
-    cfg: AriaConfig, lora_scale: float, optimizer, remat: bool = False,
+    cfg: AriaConfig, lora_scale: float, optimizer, remat: bool = False, mesh=None,
 ):
     """One LoRA step: grads flow only into the adapter tree (base frozen),
     matching the reference's PEFT setup (train.py:91-114)."""
     (_, losses), grads = jax.value_and_grad(lora_loss_fn, has_aux=True)(
-        state.params, base_params, cfg, batch, lora_scale, remat
+        state.params, base_params, cfg, batch, lora_scale, remat, mesh
     )
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_lora = optax.apply_updates(state.params, updates)

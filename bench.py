@@ -4,17 +4,16 @@ Workload mirrors the reference's headline number (25.2 eager / 130.0 compiled
 tok/s on 1x H100): single-image multimodal prompt, 200 new tokens, top-k 200,
 temperature 0.8, 2 warmup + 5 timed runs.
 
-Default serving config: int8 weight-only LM (the analogue of gptfast's int8
-path; --bf16 for the bf16 number).
+DEFAULT: the FULL 25.3B / 64-expert flagship, all experts resident on ONE
+v5e chip (16GB HBM) via int4 expert stacks + int4 attention projections +
+int8 ViT/head/embed + int8 KV — the same whole-model-on-one-accelerator
+deployment as the reference's headline (README.md:41, on an 80GB GPU) at
+1/5th the memory.
 
-Model: flagship width/depth (2560 dim, 28 layers, full SigLIP-so400m ViT +
-projector) with 8 experts per layer — the exact per-chip shard of the 64-expert
-flagship under expert-parallel-8 on a v5e-8. Per-token HBM traffic equals the
-flagship's active set (top-6 experts + attention + shared experts ≈ 3.9B
-active params), so single-chip tok/s here is the shard-equivalent of
-tokens/sec/chip for the full model. (The full 25.3B bf16 model does not fit in
-one v5e's 16GB HBM; the reference's own numbers are also single-GPU with all
-64 experts resident in 80GB.)
+`--shard8`: round-1 mode — flagship width/depth with 8 experts per layer,
+int8 weights: the exact per-chip shard of the 64-expert flagship under
+expert-parallel-8 on a v5e-8 (per-token HBM traffic equals the flagship's
+~3.9B-param active set). `--bf16` for matched-precision comparisons.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -90,11 +89,16 @@ def build_int4_params(cfg, with_image: bool):
     from aria_tpu.models.moe_lm import init_lm_params_serving_int4
     from aria_tpu.models.projector import init_projector_params
     from aria_tpu.models.vit import init_vit_params
+    from aria_tpu.ops.quant import quantize_projector_params, quantize_vit_params
 
     params = {"lm": init_lm_params_serving_int4(jax.random.PRNGKey(0), cfg.text)}
     if with_image:
-        params["vision"] = init_vit_params(jax.random.PRNGKey(1), cfg.vision, jnp.bfloat16)
-        params["projector"] = init_projector_params(jax.random.PRNGKey(2), cfg.projector, jnp.bfloat16)
+        params["vision"] = jax.jit(quantize_vit_params, donate_argnums=0)(
+            init_vit_params(jax.random.PRNGKey(1), cfg.vision, jnp.bfloat16)
+        )
+        params["projector"] = jax.jit(quantize_projector_params, donate_argnums=0)(
+            init_projector_params(jax.random.PRNGKey(2), cfg.projector, jnp.bfloat16)
+        )
     return params
 
 
@@ -113,12 +117,20 @@ def main():
                     help="long-context mode: text prompt of this many tokens")
     ap.add_argument("--kv-int8", action="store_true",
                     help="quantize the KV cache to int8 (2x context capacity)")
-    ap.add_argument("--int4", action="store_true",
-                    help="FULL 64-expert model, int4 expert weights (25.3B on one chip)")
+    ap.add_argument("--int4", action="store_true", default=None,
+                    help="FULL 64-expert model, int4 expert weights (25.3B on one chip; default)")
+    ap.add_argument("--shard8", action="store_true",
+                    help="round-1 mode: 8-expert EP-shard-equivalent, int8 weights")
     args = ap.parse_args()
 
+    # Default workload: the WHOLE 25.3B model resident on one chip (int4
+    # experts + int8 KV), mirroring the reference's single-accelerator
+    # headline (gptfast/README.md:19-22 on 1x H100 80GB).
+    if args.int4 is None:
+        args.int4 = not (args.shard8 or args.bf16 or args.lanes or args.ctx)
     if args.int4:
         args.experts = 64
+        args.kv_int8 = True
     cfg = bench_config(args.experts, args.layers)
     t0 = time.perf_counter()
     if args.int4:
