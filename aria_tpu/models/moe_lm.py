@@ -382,6 +382,7 @@ def _moe_ffn(
     layer_idx: Array,
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    mesh=None,  # expert parallelism when mesh["expert"] > 1
 ):
     """MoE FFN + shared experts (reference moe_lm.py:548-577).
 
@@ -392,6 +393,39 @@ def _moe_ffn(
     B, S, D = x.shape
     flat = x.reshape(-1, D)
     T = flat.shape[0]
+
+    has_expert_lora_early = lora is not None and ("w1" in lora or "w2" in lora)
+    use_ep = (
+        mesh is not None
+        and "expert" in mesh.axis_names
+        and mesh.shape["expert"] > 1
+        and not isinstance(w1_full, dict)  # quantized EP: future work
+        and not has_expert_lora_early
+        and w1_full.shape[1] == cfg.num_experts  # shared experts not fused
+        and T % mesh.shape["expert"] == 0
+        and cfg.num_experts % mesh.shape["expert"] == 0
+    )
+    if use_ep:
+        # Real EP: all-to-all token dispatch to expert owners (parallel/ep.py)
+        # instead of GSPMD all-gathering the [E, 2I, D] stacks.
+        from aria_tpu.parallel.ep import experts_ep
+
+        w1l = jax.lax.dynamic_index_in_dim(w1_full, layer_idx, 0, keepdims=False)
+        w2l = jax.lax.dynamic_index_in_dim(w2_full, layer_idx, 0, keepdims=False)
+        expert_out, z_loss, aux_loss = experts_ep(
+            flat, layer["gate"].astype(jnp.float32), cfg.moe_topk, w1l, w2l, mesh,
+            z_loss_coeff=cfg.moe_z_loss_coeff, aux_loss_coeff=cfg.moe_aux_loss_coeff,
+            training=training,
+        )
+        shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
+        if lora and "shared_w1" in lora:
+            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
+        shared_h = glu(shared_h.astype(x.dtype))
+        shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
+        if lora and "shared_w2" in lora:
+            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
+        out = expert_out + shared_out.astype(x.dtype)
+        return out.reshape(B, S, D), z_loss, aux_loss
 
     routing = route_topk(
         flat,
@@ -601,7 +635,7 @@ def lm_forward(
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(
             layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training,
-            w1_full, w2_full, l_idx, lr, lora_scale,
+            w1_full, w2_full, l_idx, lr, lora_scale, mesh,
         )
         h = h + ffn_out
         if has_cache:

@@ -93,6 +93,86 @@ class TestContextParallelForward:
         np.testing.assert_allclose(float(m_cp["loss"]), float(m_ref["loss"]), rtol=2e-3)
 
 
+class TestExpertParallel:
+    def _reference(self, x, gate, topk, w1, w2):
+        from aria_tpu.ops.moe import experts_grouped, route_topk
+
+        r = route_topk(x, gate, topk)
+        return experts_grouped(x, r.indices, r.weights, w1, w2)
+
+    @pytest.mark.parametrize("n", [2, 4])
+    def test_ep_matches_unsharded(self, n):
+        from aria_tpu.parallel.ep import experts_ep
+
+        rng = np.random.RandomState(0)
+        T, D, E, k, I = 32, 64, 8, 2, 32
+        x = jnp.asarray(rng.randn(T, D).astype(np.float32))
+        gate = jnp.asarray(rng.randn(E, D).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(E, 2 * I, D).astype(np.float32)) * 0.05
+        w2 = jnp.asarray(rng.randn(E, I, D).astype(np.float32)) * 0.05
+
+        ref = self._reference(x, gate, k, w1, w2)
+        mesh = make_mesh(MeshConfig(expert=n))
+        with mesh:
+            out, _, _ = jax.jit(
+                lambda x, g, a, b: experts_ep(x, g, k, a, b, mesh)
+            )(x, gate, w1, w2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_ep_hlo_has_all_to_all_and_no_all_gather(self):
+        """The dispatch must move TOKENS (all-to-all), never the expert
+        stacks (all-gather) — the round-1 EP was annotation-only and gathered
+        [E, 2I, D] everywhere."""
+        from aria_tpu.parallel.ep import experts_ep
+
+        T, D, E, k, I = 32, 64, 8, 2, 32
+        mesh = make_mesh(MeshConfig(expert=4))
+        args = (
+            jnp.zeros((T, D)), jnp.zeros((E, D)),
+            jnp.zeros((E, 2 * I, D)), jnp.zeros((E, I, D)),
+        )
+        with mesh:
+            hlo = (
+                jax.jit(lambda x, g, a, b: experts_ep(x, g, k, a, b, mesh)[0])
+                .lower(*args)
+                .compile()
+                .as_text()
+            )
+        assert "all-to-all" in hlo
+        assert "all-gather" not in hlo
+
+    def test_ep_train_loss_matches(self):
+        from aria_tpu.train.step import TrainConfig, init_train_state, train_step
+
+        cfg = TINY
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tc = TrainConfig(freeze_vit=True, freeze_projector=True)
+        B, S = 2, 16
+        tokens = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.text.vocab_size)
+        )
+        batch = {"input_ids": jnp.asarray(tokens), "labels": jnp.asarray(tokens)}
+
+        state, opt = init_train_state(params, tc)
+        _, m_ref = jax.jit(lambda s, b: train_step(s, b, cfg, tc, opt))(state, batch)
+
+        mesh = make_mesh(MeshConfig(expert=4, fsdp=2))
+        sharded = shard_tree(params, aria_param_specs(), mesh)
+        state_s, opt_s = init_train_state(sharded, tc)
+        batch_s = {
+            k: jax.device_put(v, NamedSharding(mesh, P(("data", "fsdp"))))
+            for k, v in batch.items()
+        }
+        with mesh:
+            _, m_ep = jax.jit(
+                lambda s, b: train_step(s, b, cfg, tc, opt_s, mesh=mesh)
+            )(state_s, batch_s)
+        np.testing.assert_allclose(float(m_ep["loss"]), float(m_ref["loss"]), rtol=2e-3)
+        np.testing.assert_allclose(
+            float(m_ep["aux_loss"]), float(m_ref["aux_loss"]), rtol=2e-3
+        )
+
+
 class TestShardedForward:
     def test_sharded_forward_matches_single_device(self):
         cfg = TINY
