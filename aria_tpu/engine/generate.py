@@ -65,19 +65,48 @@ class Engine:
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
+        mesh=None,  # multi-chip serving: TP/EP-shard params over this mesh
     ):
-        self.params = params
         self.cfg = cfg
         # decode-attention streams the cache in 128-multiple blocks
         self.max_seq_len = -(-max_seq_len // 256) * 256
         self.cache_dtype = cache_dtype
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prefill_jit = {}
+        self.mesh = mesh
+        if mesh is not None:
+            # The serving analogue of the reference's device_map="auto" /
+            # vLLM TP (aria/inference.py:56, docs/inference.md:88-91):
+            # GSPMD-shard the params; every jitted step compiles multi-chip.
+            from aria_tpu.parallel.mesh import aria_param_specs, shard_tree
+
+            specs = aria_param_specs()
+            if "vision" not in params:
+                specs = {k: v for k, v in specs.items() if k in params}
+            params = shard_tree(params, specs, mesh)
+        self.params = params
+
+    def _shard_cache(self, cache: KVCache) -> KVCache:
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, None, "model", None, None)  # heads follow TP
+        sc_spec = P(None, None, "model", None)
+        return KVCache(
+            jax.device_put(cache.k, NamedSharding(self.mesh, spec)),
+            jax.device_put(cache.v, NamedSharding(self.mesh, spec)),
+            *((
+                jax.device_put(cache.k_scale, NamedSharding(self.mesh, sc_spec)),
+                jax.device_put(cache.v_scale, NamedSharding(self.mesh, sc_spec)),
+            ) if cache.quantized else (None, None)),
+        )
 
     # ---------------- jitted building blocks ----------------
 
     def _prefill_fn(self, has_image: bool):
         cfg = self.cfg
+        mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnames=("temperature", "top_k"), donate_argnums=(2,))
         def prefill(params, tokens, cache, true_len, rng, pixel_values=None,
@@ -93,6 +122,7 @@ class Engine:
                 cache=cache, cache_pos=jnp.int32(0),
                 logit_position=true_len - 1,
                 causal_flash=True,  # prefill-from-0: flash over the prompt block
+                mesh=mesh,
             )
             next_tok = sample(rng, out.logits[:, 0], temperature, top_k)
             return next_tok, out.cache
@@ -102,6 +132,7 @@ class Engine:
     @functools.cached_property
     def _decode_chunk_jit(self):
         cfg = self.cfg
+        mesh = self.mesh
 
         @functools.partial(
             jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
@@ -117,6 +148,7 @@ class Engine:
                     params["lm"], cfg.text, tok[:, None],
                     positions=pos[None], mask=mask,
                     cache=cache, cache_pos=pos,
+                    mesh=mesh,
                 )
                 nxt = sample(step_rng, out.logits[:, -1], temperature, top_k)
                 return (nxt, out.cache, pos + 1), nxt
@@ -131,7 +163,11 @@ class Engine:
     # ---------------- public API ----------------
 
     def new_cache(self, batch: int = 1) -> KVCache:
-        return KVCache.init(self.cfg.text, batch, self.max_seq_len, self.cache_dtype)
+        if self.mesh is not None:
+            assert self.cache_dtype != "int4", "int4 KV head-pairing crosses TP shards"
+        return self._shard_cache(
+            KVCache.init(self.cfg.text, batch, self.max_seq_len, self.cache_dtype)
+        )
 
     def generate(
         self,

@@ -61,8 +61,8 @@ class BatchedEngine:
         decode_chunk: int = 16,
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
+        mesh=None,  # multi-chip serving: TP/EP-shard params over this mesh
     ):
-        self.params = params
         self.cfg = cfg
         self.B = max_lanes
         self.S = -(-max_seq_len // 256) * 256
@@ -70,8 +70,29 @@ class BatchedEngine:
         self.top_k = top_k
         self.decode_chunk = decode_chunk
         self._rng = jax.random.PRNGKey(rng_seed)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from aria_tpu.parallel.mesh import aria_param_specs, shard_tree
+
+            assert cache_dtype != "int4", "int4 KV head-pairing crosses TP shards"
+            specs = aria_param_specs()
+            if "vision" not in params:
+                specs = {k: v for k, v in specs.items() if k in params}
+            params = shard_tree(params, specs, mesh)
+        self.params = params
 
         self.cache = KVCache.init(cfg.text, self.B, self.S, cache_dtype)
+        if mesh is not None:
+            kv_s = NamedSharding(mesh, P(None, None, "model", None, None))
+            sc_s = NamedSharding(mesh, P(None, None, "model", None))
+            self.cache = KVCache(
+                jax.device_put(self.cache.k, kv_s), jax.device_put(self.cache.v, kv_s),
+                *((jax.device_put(self.cache.k_scale, sc_s),
+                   jax.device_put(self.cache.v_scale, sc_s))
+                  if self.cache.quantized else (None, None)),
+            )
         self.lane_req: List[Optional[Request]] = [None] * self.B
         self.lane_pos = np.zeros(self.B, np.int32)  # next write position
         self.lane_tok = np.zeros(self.B, np.int32)  # last sampled token
@@ -85,6 +106,7 @@ class BatchedEngine:
 
     def _make_prefill(self):
         cfg = self.cfg
+        mesh = self.mesh
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0, pixel_values=None, pixel_mask=None):
@@ -104,6 +126,7 @@ class BatchedEngine:
                 positions=jnp.arange(S), mask=mask,
                 cache=lane_cache, cache_pos=jnp.int32(0),
                 logit_position=true_len - 1, causal_flash=True,
+                mesh=mesh,
             )
             new_cache = jax.tree.map(
                 lambda full, ln: jax.lax.dynamic_update_slice_in_dim(full, ln, lane, axis=1),
@@ -117,6 +140,7 @@ class BatchedEngine:
     @functools.cached_property
     def _decode_jit(self):
         cfg = self.cfg
+        mesh = self.mesh
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pos, active, temps, rng, *, n_steps):
@@ -130,6 +154,7 @@ class BatchedEngine:
                     params["lm"], cfg.text, toks[:, None],
                     positions=pos[:, None], mask=mask,
                     cache=cache, cache_pos=pos,
+                    mesh=mesh,
                 )
                 nxt = sample(step_rng, out.logits[:, -1], temps, self.top_k)
                 pos = jnp.where(active, pos + 1, pos)
@@ -262,5 +287,299 @@ class BatchedEngine:
         for _ in range(max_ticks):
             out.extend(self.step())
             if not self.queue and not self._active_mask().any():
+                break
+        return out
+
+
+class PagedBatchedEngine:
+    """Continuous batching over a SHARED page pool with CHUNKED prefill.
+
+    Closes the two round-1 gaps vs the vLLM role (docs/inference.md:80-149):
+
+    - Paged KV (engine/paged.py): lanes draw ``page_size``-token pages from
+      one pool, so HBM scales with tokens in flight, not lanes x max_seq_len;
+      pages recycle the moment a request finishes.
+    - Chunked prefill: admission runs the prompt through ``prefill_chunk``-
+      token pieces, ONE piece per ``step()`` tick, with the decode chunk for
+      already-running lanes in the same tick — a long prompt no longer
+      stalls every other lane's decode.
+
+    Image features are computed once at admission (ViT+projector), scattered
+    into the full prompt embedding, and sliced per chunk.
+    """
+
+    PREFILL = "prefill"
+    DECODE = "decode"
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: AriaConfig,
+        *,
+        max_lanes: int = 4,
+        max_seq_len: int = 2048,
+        page_size: int = 256,
+        num_pages: Optional[int] = None,
+        prefill_chunk: int = 128,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        decode_chunk: int = 16,
+        cache_dtype=jnp.bfloat16,
+        rng_seed: int = 0,
+    ):
+        from aria_tpu.engine.paged import PagePool, PagedKVCache
+
+        self.params = params
+        self.cfg = cfg
+        self.B = max_lanes
+        self.PS = page_size
+        self.MAXP = -(-max_seq_len // page_size)
+        self.S = self.MAXP * page_size
+        self.C = prefill_chunk
+        self.temperature = temperature
+        self.top_k = top_k
+        self.decode_chunk = decode_chunk
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        # default pool: half of full-residency + 1 slack page per lane + null
+        if num_pages is None:
+            num_pages = 1 + max_lanes * (self.MAXP // 2 + 1)
+        self.pool = PagePool(num_pages)
+        self.cache = PagedKVCache.init(cfg.text, num_pages, page_size, cache_dtype)
+        self.page_table = np.zeros((self.B, self.MAXP), np.int32)  # 0 = null page
+
+        self.lane_req: List[Optional[Request]] = [None] * self.B
+        self.lane_state = [None] * self.B  # PREFILL | DECODE | None
+        self.lane_pages: List[list] = [[] for _ in range(self.B)]
+        self.lane_pos = np.zeros(self.B, np.int32)
+        self.lane_tok = np.zeros(self.B, np.int32)
+        self.lane_temp = np.full(self.B, temperature, np.float32)
+        self.lane_embeds: List = [None] * self.B  # device [1, bucket, D] during prefill
+        self.lane_true_len = np.zeros(self.B, np.int32)
+        self.queue: Deque[Request] = deque()
+        self._uid = 0
+        self._finished: List[Request] = []
+        self._embed_jit: Dict = {}
+
+    # ------------------------------------------------------------ jit fns
+
+    @functools.cached_property
+    def _chunk_jit(self):
+        cfg = self.cfg
+        C, K = self.C, self.S
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_chunk(params, embeds, cache, pt_row, offset, logit_at, temp, rng):
+            # embeds: [1, C, D]; pt_row: [1, MAXP]; offset: scalar
+            kv_pos = jnp.arange(K)
+            qi = offset + jnp.arange(C)
+            mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            out = lm_forward(
+                params["lm"], cfg.text, inputs_embeds=embeds,
+                positions=qi, mask=mask,
+                cache=cache, cache_pos=offset,
+                logit_position=jnp.clip(logit_at, 0, C - 1),
+                page_table=pt_row, causal_flash=False,
+            )
+            tok = sample(rng, out.logits[:, 0], temp, self.top_k)
+            return tok[0], out.cache
+
+        return prefill_chunk
+
+    @functools.cached_property
+    def _decode_jit(self):
+        cfg = self.cfg
+        K = self.S
+
+        @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
+        def decode_n(params, toks, cache, pt, pos, active, temps, rng, *, n_steps):
+            kv_pos = jnp.arange(K)
+
+            def step(carry, i):
+                toks, cache, pos = carry
+                step_rng = jax.random.fold_in(rng, i)
+                mask = (kv_pos[None, :] <= pos[:, None])[:, None, None, :]
+                out = lm_forward(
+                    params["lm"], cfg.text, toks[:, None],
+                    positions=pos[:, None], mask=mask,
+                    cache=cache, cache_pos=pos, page_table=pt,
+                )
+                nxt = sample(step_rng, out.logits[:, -1], temps, self.top_k)
+                pos = jnp.where(active, pos + 1, pos)
+                nxt = jnp.where(active, nxt, toks)
+                return (nxt, cache if out.cache is None else out.cache, pos), nxt
+
+            (toks, cache, pos), all_toks = jax.lax.scan(
+                step, (toks, cache, pos), jnp.arange(n_steps)
+            )
+            return all_toks, toks, cache, pos
+
+        return decode_n
+
+    # ------------------------------------------------------------ API
+
+    def submit(self, prompt_tokens: Sequence[int], max_new_tokens: int = 256,
+               stop_token_ids: Sequence[int] = (), pixel_values=None,
+               pixel_mask=None, temperature: Optional[float] = None) -> int:
+        self._uid += 1
+        self.queue.append(Request(
+            uid=self._uid, prompt_tokens=list(prompt_tokens),
+            max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
+            pixel_values=pixel_values, pixel_mask=pixel_mask, temperature=temperature,
+        ))
+        return self._uid
+
+    def _free_lane(self) -> Optional[int]:
+        for i, r in enumerate(self.lane_req):
+            if r is None:
+                return i
+        return None
+
+    def _embeds_for(self, req: Request, bucket: int):
+        key = (bucket, None if req.pixel_values is None else req.pixel_values.shape)
+        if key not in self._embed_jit:
+            self._embed_jit[key] = jax.jit(
+                lambda p, t, pv=None, pm=None: prepare_embeddings(p, self.cfg, t, pv, pm)
+            )
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(req.prompt_tokens)] = req.prompt_tokens
+        args = [self.params, jnp.asarray(tokens)]
+        if req.pixel_values is not None:
+            args += [jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)]
+        return self._embed_jit[key](*args)
+
+    def _admit(self) -> bool:
+        """Start ONE queued request: allocate pages, compute embeddings, mark
+        the lane as mid-prefill. No model chunk runs here."""
+        lane = self._free_lane()
+        if lane is None or not self.queue:
+            return False
+        req = self.queue[0]
+        true_len = len(req.prompt_tokens)
+        total = true_len + req.max_new_tokens
+        if total > self.S:
+            self.queue.popleft()
+            req.done = True
+            req.error = f"request {req.uid} needs {total} > max_seq_len {self.S}"
+            self._finished.append(req)
+            return True
+        n_chunks = -(-true_len // self.C)
+        need_pages = -(-(n_chunks * self.C) // self.PS)
+        pages = self.pool.alloc(need_pages)
+        if pages is None:
+            return False  # pool pressure: stay queued, decode keeps draining
+        self.queue.popleft()
+        self.page_table[lane, :need_pages] = pages
+        self.lane_pages[lane] = pages
+        self.lane_req[lane] = req
+        self.lane_state[lane] = self.PREFILL
+        self.lane_pos[lane] = 0
+        self.lane_true_len[lane] = true_len
+        self.lane_temp[lane] = self.temperature if req.temperature is None else req.temperature
+        self.lane_embeds[lane] = self._embeds_for(req, n_chunks * self.C)
+        return True
+
+    def _prefill_tick(self):
+        """Advance ONE mid-prefill lane by one chunk."""
+        lane = next((i for i, s in enumerate(self.lane_state) if s == self.PREFILL), None)
+        if lane is None:
+            return
+        req = self.lane_req[lane]
+        o = int(self.lane_pos[lane])
+        true_len = int(self.lane_true_len[lane])
+        embeds = jax.lax.dynamic_slice_in_dim(self.lane_embeds[lane], o, self.C, axis=1)
+        self._rng, rng = jax.random.split(self._rng)
+        tok, self.cache = self._chunk_jit(
+            self.params, embeds, self.cache,
+            jnp.asarray(self.page_table[lane : lane + 1]),
+            jnp.int32(o), jnp.int32(true_len - 1 - o),
+            jnp.full((1,), self.lane_temp[lane], jnp.float32), rng,
+        )
+        o += self.C
+        self.lane_pos[lane] = o
+        if o >= true_len:  # prompt fully written; sampled tok is the first token
+            first = int(tok)
+            req.generated.append(first)
+            self.lane_pos[lane] = true_len
+            self.lane_tok[lane] = first
+            self.lane_state[lane] = self.DECODE
+            self.lane_embeds[lane] = None
+            if first in req.stop_token_ids or len(req.generated) >= req.max_new_tokens:
+                self._finish(lane)
+
+    def _ensure_pages(self, lane: int, upto: int) -> bool:
+        """Grow the lane's table to cover logical positions < upto."""
+        need = -(-upto // self.PS)
+        have = len(self.lane_pages[lane])
+        if need <= have:
+            return True
+        extra = self.pool.alloc(need - have)
+        if extra is None:
+            return False
+        self.page_table[lane, have:need] = extra
+        self.lane_pages[lane].extend(extra)
+        return True
+
+    def _finish(self, lane: int):
+        req = self.lane_req[lane]
+        if req is not None:
+            req.done = True
+            self._finished.append(req)
+        self.pool.release(self.lane_pages[lane])
+        self.page_table[lane, :] = 0
+        self.lane_pages[lane] = []
+        self.lane_req[lane] = None
+        self.lane_state[lane] = None
+        self.lane_embeds[lane] = None
+
+    def _decode_mask(self) -> np.ndarray:
+        return np.asarray([s == self.DECODE for s in self.lane_state], bool)
+
+    def step(self) -> List[Request]:
+        """One scheduler tick: admit, one prefill chunk, one decode chunk."""
+        while self._admit():
+            pass
+        self._prefill_tick()
+
+        active = self._decode_mask()
+        for lane in range(self.B):  # decode growth: one chunk of headroom
+            if active[lane] and not self._ensure_pages(
+                lane, int(self.lane_pos[lane]) + self.decode_chunk + 1
+            ):
+                active[lane] = False  # page pressure: pause this lane's decode
+        if active.any():
+            self._rng, rng = jax.random.split(self._rng)
+            all_toks, last, self.cache, pos = self._decode_jit(
+                self.params, jnp.asarray(self.lane_tok), self.cache,
+                jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),
+                jnp.asarray(active), jnp.asarray(self.lane_temp), rng,
+                n_steps=self.decode_chunk,
+            )
+            toks_host = np.asarray(all_toks)
+            new_pos = np.array(pos)
+            new_tok = np.array(last)
+            for lane in range(self.B):
+                if not active[lane]:
+                    continue
+                self.lane_pos[lane] = new_pos[lane]
+                self.lane_tok[lane] = new_tok[lane]
+                req = self.lane_req[lane]
+                for t in toks_host[:, lane].tolist():
+                    req.generated.append(int(t))
+                    if (
+                        t in req.stop_token_ids
+                        or len(req.generated) >= req.max_new_tokens
+                        or int(self.lane_pos[lane]) >= self.S - 1
+                    ):
+                        self._finish(lane)
+                        break
+        out, self._finished = self._finished, []
+        return out
+
+    def run_until_complete(self, max_ticks: int = 10_000) -> List[Request]:
+        out: List[Request] = []
+        for _ in range(max_ticks):
+            out.extend(self.step())
+            if not self.queue and all(s is None for s in self.lane_state):
                 break
         return out

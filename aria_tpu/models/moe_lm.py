@@ -55,16 +55,31 @@ class KVCache(NamedTuple):
     With ``dtype=jnp.int8`` the cache is quantized per (layer, lane, head,
     position) with fp32 scales (amax/127 over D at write time): half the HBM
     traffic and double the max context per chip (32K fits a 16GB v5e beside
-    the int8 bench model)."""
+    the int8 bench model).
+
+    With ``dtype="int4"`` the values are 4-bit, nibble-packed in HEAD PAIRS
+    (head h rides the low nibble, head h + H/2 the high nibble of plane h of
+    a [L, B, H/2, S, D] int8 buffer): writes pack two fresh heads — never a
+    read-modify-write — and the decode kernel unpacks with one sublane
+    concat. Scales stay per (head, position), [L, B, H, S]. Quarter the KV
+    HBM traffic; 64K context fits one chip beside the EP-8 shard model."""
 
     k: Array
     v: Array
-    k_scale: Optional[Array] = None  # f32 [L, B, H, S] when k is int8
+    k_scale: Optional[Array] = None  # f32 [L, B, H, S] when k is int8/int4
     v_scale: Optional[Array] = None
 
     @staticmethod
     def init(cfg: TextConfig, batch: int, max_seq: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
+        if dtype == "int4":
+            assert cfg.num_kv_heads % 2 == 0, "int4 KV packs head pairs"
+            pshape = (cfg.num_layers, batch, cfg.num_kv_heads // 2, max_seq, cfg.head_dim)
+            # bf16 scales: at 64K the f32 scale planes alone are 0.3GB
+            return KVCache(
+                jnp.zeros(pshape, jnp.int8), jnp.zeros(pshape, jnp.int8),
+                jnp.ones(shape[:-1], jnp.bfloat16), jnp.ones(shape[:-1], jnp.bfloat16),
+            )
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
         if dtype == jnp.int8:
@@ -76,6 +91,11 @@ class KVCache(NamedTuple):
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def packed4(self) -> bool:
+        """int4 head-pair packing: scale buffer has 2x the head planes."""
+        return self.k_scale is not None and self.k_scale.shape[2] == 2 * self.k.shape[2]
 
     @property
     def max_seq(self) -> int:
@@ -250,13 +270,15 @@ def _attention(
     use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
     dense_q4: Optional[dict] = None,  # int4 wqkv/wo stacks (kept out of scan xs)
     cp_mesh=None,  # context-parallel mesh: attention via Ulysses all-to-all
+    page_table: Optional[Array] = None,  # [B, MAXP] when cache_kv is paged
+    allow_kernels: bool = True,  # False under a mesh: single-chip kernels off
 ):
     B, S, _ = x.shape
     if dense_q4 is not None:
         from aria_tpu.ops.dense_int4 import dense_int4, dequantize_dense_int4
 
         def _d4(h2d, w):
-            if use_pallas():
+            if use_pallas() and allow_kernels:
                 return dense_int4(h2d, w, layer_idx)
             wl = {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
                   for k2, v in w.items()}
@@ -277,19 +299,83 @@ def _attention(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    if cache_kv is not None and page_table is not None:
+        # Paged cache (engine/paged.py): pages shared across lanes via the
+        # block table; same scan-carry discipline as the contiguous cache.
+        from aria_tpu.engine.paged import (
+            gather_lane_kv,
+            paged_decode_attention,
+            paged_write,
+        )
+
+        k_t = k.transpose(0, 2, 1, 3)  # [B, H, S, D]
+        v_t = v.transpose(0, 2, 1, 3)
+        if cache_kv.quantized:
+            k_sc = jnp.maximum(jnp.max(jnp.abs(k_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
+            v_sc = jnp.maximum(jnp.max(jnp.abs(v_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
+            k_t = jnp.round(k_t.astype(jnp.float32) / k_sc[..., None]).astype(jnp.int8)
+            v_t = jnp.round(v_t.astype(jnp.float32) / v_sc[..., None]).astype(jnp.int8)
+        else:
+            k_sc = v_sc = None
+            k_t = k_t.astype(cache_kv.k.dtype)
+            v_t = v_t.astype(cache_kv.v.dtype)
+        pos_vec = jnp.broadcast_to(jnp.atleast_1d(cache_pos), (B,))
+        new_cache = paged_write(cache_kv, layer_idx, page_table, pos_vec, k_t, v_t, k_sc, v_sc)
+        lengths = pos_vec + S
+
+        if S == 1 and use_pallas() and allow_kernels and cfg.num_kv_heads == cfg.num_heads:
+            out = paged_decode_attention(
+                q[:, 0], new_cache, layer_idx, page_table, lengths
+            )[:, None]
+        else:
+            k_att, v_att = gather_lane_kv(new_cache, layer_idx, page_table)
+            out = sdpa(
+                q,
+                k_att.transpose(0, 2, 1, 3).astype(q.dtype),
+                v_att.transpose(0, 2, 1, 3).astype(q.dtype),
+                mask,
+            )
+        out = out.reshape(B, S, q_size)
+        if dense_q4 is not None:
+            proj = _d4(out.reshape(-1, q_size), dense_q4["wo"]).reshape(B, S, -1)
+        else:
+            proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
+        if lora and "wo" in lora:
+            proj = proj + _lora_delta(out, lora["wo"], lora_scale)
+        return proj.astype(x.dtype), new_cache
+
     if cache_kv is not None:
         # The FULL stacked [L, B, H, S, D] cache rides the scan carry; only
         # this layer's tiny new k/v block is scattered in (in-place on the
         # donated carry). Streaming the cache through scan xs/ys instead
         # costs a full-plane dynamic-slice copy per layer per step.
         quantized = cache_kv.quantized
+        packed4 = cache_kv.packed4
         k_t = k.transpose(0, 2, 1, 3)  # [B, H, S, D]
         v_t = v.transpose(0, 2, 1, 3)
         if quantized:
-            k_sc = jnp.maximum(jnp.max(jnp.abs(k_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
-            v_sc = jnp.maximum(jnp.max(jnp.abs(v_t.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
-            k_t = jnp.round(k_t.astype(jnp.float32) / k_sc[..., None]).astype(jnp.int8)
-            v_t = jnp.round(v_t.astype(jnp.float32) / v_sc[..., None]).astype(jnp.int8)
+            qmax = 7.0 if packed4 else 127.0
+            # int4 path quantizes in bf16 (values <= 7 are exact; the f32
+            # intermediates are ~1.3GB at a 64K prefill), int8 in f32
+            qdt = jnp.bfloat16 if packed4 else jnp.float32
+            k_sc = jnp.maximum(jnp.max(jnp.abs(k_t.astype(jnp.float32)), axis=-1), 1e-6) / qmax
+            v_sc = jnp.maximum(jnp.max(jnp.abs(v_t.astype(jnp.float32)), axis=-1), 1e-6) / qmax
+            k_sc, v_sc = k_sc.astype(qdt), v_sc.astype(qdt)
+            k_t = jnp.round(k_t.astype(qdt) / k_sc[..., None])
+            v_t = jnp.round(v_t.astype(qdt) / v_sc[..., None])
+            if packed4:
+                # nibble-pack head pairs (h -> lo, h + H/2 -> hi): fresh
+                # values only, never a read-modify-write of the cache
+                Hh = cfg.num_kv_heads // 2
+
+                def pack_heads(q):
+                    q = jnp.clip(q, -8, 7).astype(jnp.int8)
+                    return (q[:, :Hh] & 0xF) | (q[:, Hh:] << 4)
+
+                k_t, v_t = pack_heads(k_t), pack_heads(v_t)
+            else:
+                k_t = k_t.astype(jnp.int8)
+                v_t = v_t.astype(jnp.int8)
         else:
             k_t = k_t.astype(cache_kv.k.dtype)
             v_t = v_t.astype(cache_kv.v.dtype)
@@ -309,10 +395,11 @@ def _attention(
             # per-lane write offsets (continuous batching): cache_pos [B]
             bi = jnp.arange(B)[:, None, None]
             hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
+            hv = jnp.arange(k_t.shape[1])[None, :, None]  # H/2 when packed4
             si = (cache_pos[:, None] + jnp.arange(S)[None, :])[:, None, :]
             new_cache = KVCache(
-                cache_kv.k.at[layer_idx, bi, hi, si].set(k_t),
-                cache_kv.v.at[layer_idx, bi, hi, si].set(v_t),
+                cache_kv.k.at[layer_idx, bi, hv, si].set(k_t),
+                cache_kv.v.at[layer_idx, bi, hv, si].set(v_t),
                 *((
                     cache_kv.k_scale.at[layer_idx, bi, hi, si].set(k_sc),
                     cache_kv.v_scale.at[layer_idx, bi, hi, si].set(v_sc),
@@ -337,7 +424,7 @@ def _attention(
         from aria_tpu.ops.flash import flash_sdpa
 
         out = flash_sdpa(q, k, v, causal=True)
-    elif (cache_kv is not None and S == 1 and use_pallas()
+    elif (cache_kv is not None and S == 1 and use_pallas() and allow_kernels
           and cfg.num_kv_heads == cfg.num_heads):  # kernel is MHA-only; GQA -> sdpa
         from aria_tpu.ops.decode_attention import decode_attention
 
@@ -352,8 +439,19 @@ def _attention(
         k_att = _plane(new_cache.k)
         v_att = _plane(new_cache.v)
         if new_cache.quantized:
-            k_att = k_att.astype(jnp.float32) * _plane(new_cache.k_scale)[..., None]
-            v_att = v_att.astype(jnp.float32) * _plane(new_cache.v_scale)[..., None]
+            if new_cache.packed4:
+                def unpack_heads(p):  # [B, H/2, S, D] -> [B, H, S, D]
+                    b32 = p.astype(jnp.int32)
+                    lo = ((b32 << 28) >> 28).astype(jnp.float32)
+                    hi = ((b32 << 24) >> 28).astype(jnp.float32)
+                    return jnp.concatenate([lo, hi], axis=1)
+
+                k_att, v_att = unpack_heads(k_att), unpack_heads(v_att)
+            else:
+                k_att = k_att.astype(jnp.float32)
+                v_att = v_att.astype(jnp.float32)
+            k_att = k_att * _plane(new_cache.k_scale)[..., None]
+            v_att = v_att * _plane(new_cache.v_scale)[..., None]
         out = sdpa(
             q,
             k_att.transpose(0, 2, 1, 3).astype(q.dtype),
@@ -427,6 +525,22 @@ def _moe_ffn(
         out = expert_out + shared_out.astype(x.dtype)
         return out.reshape(B, S, D), z_loss, aux_loss
 
+    # Long-prefill token chunking: the dispatch buffers scale with T (the
+    # capacity path materializes [E, T, 2I] — 4GB+ at a 64K prefill), so very
+    # long prompts run the identical per-token MoE in bounded slices via a
+    # sequential lax.map. Exact: routing is per-token; eval-mode losses are 0.
+    MOE_CHUNK = 8192
+    if T > MOE_CHUNK and T % MOE_CHUNK == 0 and not training:
+        def run_chunk(xc):  # [MOE_CHUNK, D]
+            out_c, zl, al = _moe_ffn(
+                layer, cfg, xc[None], training, w1_full, w2_full, layer_idx,
+                lora, lora_scale, mesh,
+            )
+            return out_c[0], zl, al
+
+        outs, zls, als = jax.lax.map(run_chunk, flat.reshape(-1, MOE_CHUNK, D))
+        return outs.reshape(B, S, D), jnp.sum(zls), jnp.sum(als)
+
     routing = route_topk(
         flat,
         layer["gate"].astype(jnp.float32),
@@ -460,8 +574,10 @@ def _moe_ffn(
         ).astype(weights.dtype)
 
     has_expert_lora = lora is not None and ("w1" in lora or "w2" in lora)
+    # single-chip kernels: with a mesh the XLA/GSPMD paths run instead
+    kernels_ok = use_pallas() and mesh is None
     use_decode_kernel = (
-        T <= GATHER_PATH_MAX_TOKENS and use_pallas() and not training
+        T <= GATHER_PATH_MAX_TOKENS and kernels_ok and not training
         and not has_expert_lora
     )
     if use_decode_kernel:
@@ -492,7 +608,7 @@ def _moe_ffn(
                 flat, indices, weights, w1_full, w2_full, layer_idx, ft=ft,
             )
     if not use_decode_kernel and (
-        is_quantized_int4(w1_full) and use_pallas() and not training
+        is_quantized_int4(w1_full) and kernels_ok and not training
         and not has_expert_lora
     ):
         # Prefill over packed int4: consume the nibbles directly — a per-layer
@@ -527,7 +643,7 @@ def _moe_ffn(
             )
         elif T <= GATHER_PATH_MAX_TOKENS:
             expert_out = experts_gather(*args)
-        elif use_pallas() and cfg.num_experts > 2 * cfg.moe_topk:
+        elif kernels_ok and cfg.num_experts > 2 * cfg.moe_topk:
             # Many experts: ragged megablox dispatch (dense capacity would
             # compute E/k times the needed rows).
             expert_out = experts_ragged(*args)
@@ -568,6 +684,7 @@ def lm_forward(
     remat: bool = False,  # rematerialize each layer in backward (grad ckpt)
     causal_flash: Optional[bool] = None,  # caller asserts pure-causal-from-0 attention
     mesh=None,  # context parallelism when mesh has a `context` axis > 1
+    page_table: Optional[Array] = None,  # [B, MAXP] when cache is a PagedKVCache
 ) -> LMOutput:
     """Run the decoder. Without a cache, defaults to causal self-attention."""
     if inputs_embeds is None:
@@ -614,7 +731,9 @@ def lm_forward(
 
     if causal_flash is None:
         causal_flash = mask is None and cache is None
-    use_flash = use_pallas() and S > 1 and causal_flash
+    # single-chip kernels stay off under a mesh (GSPMD/XLA paths shard;
+    # Ulysses runs flash on local shards inside its own shard_map)
+    use_flash = use_pallas() and mesh is None and S > 1 and causal_flash
 
     has_cache = cache is not None
 
@@ -630,7 +749,7 @@ def lm_forward(
         normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
         out, new_kv = _attention(
             layer, cfg, normed, cos, sin, mask, kv, pos, l_idx, lr, lora_scale,
-            use_flash, dense_q4, cp_mesh,
+            use_flash, dense_q4, cp_mesh, page_table, mesh is None,
         )
         h = h + out
         ffn_out, z_loss, aux_loss = _moe_ffn(

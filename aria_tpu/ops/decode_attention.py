@@ -98,6 +98,32 @@ def _kernel_qcache(l_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                   k_sc=ks_ref[0, 0], v_sc=vs_ref[0, 0])
 
 
+def _kernel_q4cache(l_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    out_ref, m_ref, s_ref, acc_ref):
+    """int4 head-pair-packed cache: unpack [H/2, bs, D] int8 -> [H, bs, D]
+    (int32 shifts — Mosaic cannot shift int8 vectors), then the shared
+    online-softmax body with per-(head, position) scales."""
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n_s = pl.num_programs(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def unpack(p):
+        b32 = p.astype(jnp.int32)
+        lo = ((b32 << 28) >> 28).astype(jnp.bfloat16)
+        hi = ((b32 << 24) >> 28).astype(jnp.bfloat16)
+        return jnp.concatenate([lo, hi], axis=0)
+
+    _attend_block(len_ref, q_ref, unpack(k_ref[0, 0]), unpack(v_ref[0, 0]),
+                  out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
+                  k_sc=ks_ref[0, 0], v_sc=vs_ref[0, 0])
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def decode_attention(
     q: Array,  # [B, H, D] current token's queries (unscaled)
@@ -119,6 +145,10 @@ def decode_attention(
     Aria shape is 20/20 MHA, gptfast/model.py:56-59.)"""
     B, H, D = q.shape
     L, _, H_kv, S, _ = k_cache.shape
+    quantized = k_scale is not None
+    packed4 = quantized and k_scale.shape[2] == 2 * H_kv
+    if packed4:
+        H_kv *= 2
     assert H_kv == H, (
         f"decode_attention kernel requires num_kv_heads == num_heads "
         f"(got {H_kv} != {H}); use the sdpa fallback for GQA"
@@ -127,13 +157,12 @@ def decode_attention(
     assert bs is not None, f"cache length {S} must be divisible by 128"
     bs = min(bs, S)
     n_s = S // bs
-    quantized = k_scale is not None
 
     scale = 1.0 / (D**0.5)
     q = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16 if quantized else q.dtype)
 
     kv_spec = pl.BlockSpec(
-        (1, 1, H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
+        (1, 1, H // 2 if packed4 else H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
@@ -149,7 +178,7 @@ def decode_attention(
     if quantized:
         in_specs += [sc_spec, sc_spec]
         arrays += [k_scale, v_scale]
-        kernel = _kernel_qcache
+        kernel = _kernel_q4cache if packed4 else _kernel_qcache
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

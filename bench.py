@@ -50,7 +50,7 @@ def bench_batched(params, cfg, args):
     srv = BatchedEngine(
         params, cfg, max_lanes=n, max_seq_len=512,
         temperature=0.8, top_k=200, decode_chunk=25,
-        cache_dtype=jnp.int8 if args.kv_int8 else jnp.bfloat16,
+        cache_dtype="int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16),
     )
     rng = np.random.RandomState(0)
 
@@ -117,6 +117,8 @@ def main():
                     help="long-context mode: text prompt of this many tokens")
     ap.add_argument("--kv-int8", action="store_true",
                     help="quantize the KV cache to int8 (2x context capacity)")
+    ap.add_argument("--kv-int4", action="store_true",
+                    help="head-pair-packed int4 KV cache (4x context capacity; 64K fits one chip)")
     ap.add_argument("--int4", action="store_true", default=None,
                     help="FULL 64-expert model, int4 expert weights (25.3B on one chip; default)")
     ap.add_argument("--shard8", action="store_true",
@@ -163,7 +165,7 @@ def main():
         return
 
     max_seq = 1024 if not args.ctx else args.ctx + args.new_tokens + 64
-    cache_dtype = jnp.int8 if args.kv_int8 else jnp.bfloat16
+    cache_dtype = "int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16)
     engine = Engine(params, cfg, max_seq_len=max_seq, cache_dtype=cache_dtype)
 
     # Single-image prompt: 256 image tokens (one 980px crop) + text.
@@ -198,6 +200,8 @@ def main():
     suffix = "" if args.bf16 else "_int8"
     if args.kv_int8:
         suffix += "_kv8"
+    if args.kv_int4:
+        suffix += "_kv4"
     if args.ctx:
         suffix += f"_ctx{args.ctx}"
     name = f"decode_tok_s_1chip_ep8_shard_equiv{suffix}"

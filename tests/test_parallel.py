@@ -173,6 +173,50 @@ class TestExpertParallel:
         )
 
 
+class TestMeshedServing:
+    """Multi-chip serving (VERDICT #7): Engine/BatchedEngine take a mesh,
+    shard params TP/EP via GSPMD, and must reproduce single-device greedy
+    tokens exactly — validated on the CPU mesh."""
+
+    def test_engine_tp_matches_single_device(self):
+        from aria_tpu.engine.generate import Engine, GenerationConfig
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.0, top_k=None, decode_chunk=4)
+        ref = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32).generate(
+            [5, 17, 3], gen
+        )
+        mesh = make_mesh(MeshConfig(model=2, expert=2, fsdp=2))
+        with mesh:
+            got = Engine(
+                params, TINY, max_seq_len=128, cache_dtype=jnp.float32, mesh=mesh
+            ).generate([5, 17, 3], gen)
+        assert got.tokens == ref.tokens
+
+    def test_batched_engine_tp_matches_single_device(self):
+        from aria_tpu.engine.generate import Engine, GenerationConfig
+        from aria_tpu.engine.server import BatchedEngine
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, temperature=0.0, top_k=None)
+        prompts = [[5, 17, 3], [9, 9, 200]]
+        expected = [
+            Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32).generate(p, gen).tokens
+            for p in prompts
+        ]
+        mesh = make_mesh(MeshConfig(model=2, fsdp=2))
+        with mesh:
+            srv = BatchedEngine(
+                params, TINY, max_lanes=2, max_seq_len=128,
+                temperature=0.0, decode_chunk=3, cache_dtype=jnp.float32, mesh=mesh,
+            )
+            uids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+            finished = srv.run_until_complete()
+        by_uid = {r.uid: r for r in finished}
+        for uid, exp in zip(uids, expected):
+            assert by_uid[uid].generated == exp
+
+
 class TestShardedForward:
     def test_sharded_forward_matches_single_device(self):
         cfg = TINY

@@ -102,6 +102,73 @@ class TestBatchedEngine:
         assert len(finished[0].generated) <= 3
 
 
+class TestPagedEngine:
+    def _paged(self, params, **kw):
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        kw.setdefault("max_lanes", 2)
+        kw.setdefault("max_seq_len", 256)
+        kw.setdefault("page_size", 32)
+        kw.setdefault("prefill_chunk", 32)
+        kw.setdefault("temperature", 0.0)
+        kw.setdefault("decode_chunk", 4)
+        kw.setdefault("cache_dtype", jnp.float32)
+        return PagedBatchedEngine(params, TINY, **kw)
+
+    def test_matches_single_engine_mixed_lengths(self):
+        """Short and long prompts (multiple prefill chunks) through the shared
+        page pool must reproduce the contiguous-cache engine's greedy tokens."""
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=256, cache_dtype=jnp.float32)
+        srv = self._paged(params)
+        prompts = [[5, 17, 3], [7 + (i % 90) for i in range(70)]]  # 1 vs 3 chunks
+        n_new = 8
+        expected = [
+            single.generate(
+                p, GenerationConfig(max_new_tokens=n_new, temperature=0.0, top_k=None)
+            ).tokens
+            for p in prompts
+        ]
+        uids = [srv.submit(p, max_new_tokens=n_new) for p in prompts]
+        finished = srv.run_until_complete()
+        by_uid = {r.uid: r for r in finished}
+        for uid, exp in zip(uids, expected):
+            assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
+
+    def test_decode_continues_during_admission(self):
+        """A long prompt's chunked prefill must NOT stall a running lane:
+        the decoding lane gains tokens on the same tick a chunk runs."""
+        params = make_params()
+        srv = self._paged(params, max_seq_len=512, prefill_chunk=32)
+        srv.submit([5, 17, 3], max_new_tokens=64)
+        srv.step()  # admit + first tokens for lane 0
+        lane0_req = srv.lane_req[0]
+        n_before = len(lane0_req.generated)
+
+        srv.submit([11] * 120, max_new_tokens=4)  # 4 prefill chunks
+        srv.step()
+        assert srv.lane_state[1] == srv.PREFILL  # still mid-prefill...
+        assert len(lane0_req.generated) > n_before  # ...but lane 0 decoded
+
+    def test_pages_recycle_and_pool_pressure(self):
+        params = make_params()
+        # pool with room for ~one request at a time
+        srv = self._paged(params, num_pages=1 + 6, max_seq_len=256)
+        avail0 = srv.pool.available
+        srv.submit([3] * 60, max_new_tokens=6)
+        srv.submit([4] * 60, max_new_tokens=6)
+        finished = srv.run_until_complete()
+        assert len(finished) == 2 and all(len(r.generated) == 6 for r in finished)
+        assert srv.pool.available == avail0  # all pages returned
+
+    def test_oversized_request_reports_error(self):
+        params = make_params()
+        srv = self._paged(params, max_seq_len=128)
+        srv.submit([3] * 100, max_new_tokens=100)
+        finished = srv.run_until_complete()
+        assert finished[0].error is not None
+
+
 class TestBatchedMultimodal:
     def test_multimodal_request_matches_single_engine(self):
         import numpy as np
