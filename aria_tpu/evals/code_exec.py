@@ -1,11 +1,14 @@
 """Sandboxed code-evaluation harness (HumanEval-style pass@k).
 
 Parity target: the reference's examples/code_sft/human_eval execution
-machinery — process-isolated execution of model-generated code with
-resource limits, timeouts, and a disabled-os-call guard, plus the unbiased
-pass@k estimator. Python-only here (the reference also shells out to other
-language toolchains); the sandbox is a separate process with rlimits and a
-neutered environment — NOT a security boundary, same caveat as the reference.
+machinery (execution.py, 808 LoC) — process-isolated execution of
+model-generated code with resource limits, timeouts, and a disabled-os-call
+guard, plus the unbiased pass@k estimator. Languages: Python in-process
+(guarded exec) and compiled/interpreted languages via subprocess toolchains
+(C++ with g++ here; the per-language table mirrors the reference's dispatch
+and degrades to a "toolchain missing" failure when a compiler is absent).
+The sandbox is rlimits + a neutered environment — NOT a security boundary,
+same caveat as the reference.
 """
 
 from __future__ import annotations
@@ -75,6 +78,61 @@ def _run_one(code: str, timeout: float, result_queue):
         result_queue.put(f"failed: {type(e).__name__}: {e}")
 
 
+# language -> (source filename, compile argv or None, run argv); {d} = tempdir
+_SUBPROCESS_LANGS = {
+    "cpp": ("main.cpp", ["g++", "-O1", "-std=c++17", "main.cpp", "-o", "main"], ["./main"]),
+    "sh": ("main.sh", None, ["bash", "main.sh"]),
+    "js": ("main.js", None, ["node", "main.js"]),
+    "go": ("main.go", None, ["go", "run", "main.go"]),
+}
+
+
+def _subprocess_limits():
+    import resource
+
+    os.setsid()  # own process group: timeouts kill the whole tree
+    resource.setrlimit(resource.RLIMIT_AS, (2 << 30, 2 << 30))
+    resource.setrlimit(resource.RLIMIT_CPU, (10, 10))
+    resource.setrlimit(resource.RLIMIT_FSIZE, (64 << 20, 64 << 20))
+
+
+def _check_subprocess(program: str, language: str, timeout: float) -> Dict:
+    """Compile (if needed) and run one program in a temp dir with rlimits.
+
+    The reference shells out to per-language toolchains the same way
+    (execution.py's language table); a missing toolchain is a failure with a
+    distinct message, not a crash."""
+    import shutil
+    import subprocess
+
+    fname, compile_cmd, run_cmd = _SUBPROCESS_LANGS[language]
+    if shutil.which((compile_cmd or run_cmd)[0]) is None:
+        return {"passed": False,
+                "result": f"failed: toolchain missing: {(compile_cmd or run_cmd)[0]}"}
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(program)
+        try:
+            if compile_cmd is not None:
+                c = subprocess.run(
+                    compile_cmd, cwd=d, capture_output=True, timeout=60,
+                    preexec_fn=_subprocess_limits,
+                )
+                if c.returncode != 0:
+                    return {"passed": False,
+                            "result": f"failed: compile: {c.stderr.decode()[:500]}"}
+            r = subprocess.run(
+                run_cmd, cwd=d, capture_output=True, timeout=timeout,
+                preexec_fn=_subprocess_limits,
+            )
+        except subprocess.TimeoutExpired:
+            return {"passed": False, "result": "timed out"}
+        if r.returncode != 0:
+            return {"passed": False,
+                    "result": f"failed: exit {r.returncode}: {r.stderr.decode()[:500]}"}
+        return {"passed": True, "result": "passed"}
+
+
 def check_correctness(
     completion: str,
     test_code: str,
@@ -82,6 +140,7 @@ def check_correctness(
     entry_point: Optional[str] = None,
     prompt: str = "",
     timeout: float = 10.0,
+    language: str = "python",
 ) -> Dict:
     """Run prompt+completion+tests in an isolated process."""
     program = "\n".join(
@@ -89,9 +148,13 @@ def check_correctness(
             prompt,
             completion,
             test_code,
-            f"check({entry_point})" if entry_point else "",
+            f"check({entry_point})" if entry_point and language == "python" else "",
         ]
     )
+    if language != "python":
+        if language not in _SUBPROCESS_LANGS:
+            return {"passed": False, "result": f"failed: unknown language {language}"}
+        return _check_subprocess(program, language, timeout)
     # spawn, not fork: the parent typically has JAX's thread pool running and
     # forked children can deadlock in arbitrary library code.
     ctx = multiprocessing.get_context("spawn")
@@ -127,7 +190,7 @@ def evaluate_functional_correctness(
         res = check_correctness(
             s["completion"], prob["test"],
             entry_point=prob.get("entry_point"), prompt=prob["prompt"],
-            timeout=timeout,
+            timeout=timeout, language=prob.get("language", "python"),
         )
         per_task.setdefault(s["task_id"], []).append(res["passed"])
 

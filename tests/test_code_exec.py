@@ -64,3 +64,31 @@ class TestPassAtK:
         out = evaluate_functional_correctness(samples, problems, k_values=(1, 2))
         assert out["pass@1"] == pytest.approx(0.5)
         assert out["pass@2"] == pytest.approx(1.0)
+
+
+class TestMultiLanguage:
+    def test_cpp_pass_and_fail(self):
+        ok = check_correctness(
+            "#include <cassert>\nint add(int a,int b){return a+b;}\n",
+            "int main(){ assert(add(1,2)==3); return 0; }\n",
+            language="cpp",
+        )
+        assert ok["passed"], ok
+        bad = check_correctness(
+            "#include <cassert>\nint add(int a,int b){return a-b;}\n",
+            "int main(){ assert(add(1,2)==3); return 0; }\n",
+            language="cpp",
+        )
+        assert not bad["passed"]
+
+    def test_cpp_compile_error_reported(self):
+        res = check_correctness("int add(int a,int b){return a+b\n", "", language="cpp")
+        assert not res["passed"] and "compile" in res["result"]
+
+    def test_missing_toolchain_is_graceful(self):
+        res = check_correctness("console.log(1)", "", language="go")
+        assert not res["passed"]
+
+    def test_shell_language(self):
+        res = check_correctness("x=3", 'test "$x" = 3', language="sh")
+        assert res["passed"], res
