@@ -72,9 +72,11 @@ def bench_batched(params, cfg, args):
         results.append(total / dt)
         print(f"# run {r}: {total} tokens across {n} lanes in {dt:.2f}s = {total/dt:.1f} tok/s", flush=True)
     tok_s = float(np.mean(results))
-    suffix = "" if args.bf16 else "_int8"
+    suffix = "_full64_int4" if args.int4 else ("" if args.bf16 else "_int8")
     if args.kv_int8:
         suffix += "_kv8"
+    if args.kv_int4:
+        suffix += "_kv4"
     print(json.dumps({
         "metric": f"decode_tok_s_1chip_{n}lanes{suffix}",
         "value": round(tok_s, 2),

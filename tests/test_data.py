@@ -240,3 +240,110 @@ class TestCollate:
         assert batch["input_ids"].shape == batch["labels"].shape
         n_img = int((batch["input_ids"] == tokenizer.image_token_id).sum())
         assert n_img == 128
+
+
+class TestReferenceGoldenTemplates:
+    """The reference test-suite's golden template strings
+    (/root/reference/tests/test_apply_chat_template.py), decode-back checked
+    byte-for-byte through our assembly + the deterministic ByteTokenizer.
+    (A golden test against the real Aria sentencepiece vocab needs the
+    checkpoint files — unavailable offline; load_tokenizer prefers the slow
+    path for exactly that fidelity reason.)"""
+
+    BOOK_Q = {"text": "Who wrote this book?\n", "type": "text"}
+    IMG = {"text": None, "type": "image"}
+    COVEY = {"text": "Sylvie Covey", "type": "text"}
+    TITLE_Q = {"text": "What is the title of this book?", "type": "text"}
+    TITLE_A = {"text": "Modern Printmaking: A Guide to Traditional and Digital Techniques",
+               "type": "text"}
+
+    def _decode(self, tok, ids):
+        return tok.decode([t for t in ids.tolist() if t != tok.pad_token_id])
+
+    def test_single_user_message_980_and_490(self):
+        from aria_tpu.data.chat import apply_chat_template_and_tokenize
+        from aria_tpu.data.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        for size, n in ((980, 256), (490, 128)):
+            msgs = [{"content": [self.BOOK_Q, self.IMG], "role": "user"}]
+            expected = (
+                "<|im_start|>user\nWho wrote this book?\n"
+                "<fim_prefix><|img|><fim_suffix><|im_end|>\n"
+            ).replace("<|img|>", "<|img|>" * n)
+            res = apply_chat_template_and_tokenize(
+                [msgs], tok, num_image_crop=iter([1]),
+                max_length=4096, max_image_size=size,
+            )
+            assert self._decode(tok, res["input_ids"][0]) == expected
+            assert (res["labels"] == -100).sum() == res["input_ids"].size
+
+    def test_single_assistant_message(self):
+        from aria_tpu.data.chat import apply_chat_template_and_tokenize
+        from aria_tpu.data.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        res = apply_chat_template_and_tokenize(
+            [[{"content": [self.COVEY], "role": "assistant"}]], tok
+        )
+        assert self._decode(tok, res["input_ids"][0]) == \
+            "<|im_start|>assistant\nSylvie Covey<|im_end|>\n"
+
+    def test_multi_round_messages(self):
+        from aria_tpu.data.chat import apply_chat_template_and_tokenize
+        from aria_tpu.data.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        msgs = [
+            {"content": [self.BOOK_Q, self.IMG], "role": "user"},
+            {"content": [self.COVEY], "role": "assistant"},
+            {"content": [self.TITLE_Q], "role": "user"},
+            {"content": [self.TITLE_A], "role": "assistant"},
+        ]
+        expected = (
+            "<|im_start|>user\nWho wrote this book?\n<fim_prefix><|img|><fim_suffix><|im_end|>\n"
+            "<|im_start|>assistant\nSylvie Covey<|im_end|>\n"
+            "<|im_start|>user\nWhat is the title of this book?<|im_end|>\n"
+            "<|im_start|>assistant\nModern Printmaking: A Guide to Traditional and Digital Techniques<|im_end|>\n"
+        ).replace("<|img|>", "<|img|>" * 256)
+        res = apply_chat_template_and_tokenize(
+            [msgs], tok, num_image_crop=iter([1]), max_length=4096
+        )
+        assert self._decode(tok, res["input_ids"][0]) == expected
+
+    def test_batch_messages(self):
+        from aria_tpu.data.chat import apply_chat_template_and_tokenize
+        from aria_tpu.data.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        short = [
+            {"content": [self.BOOK_Q, self.IMG], "role": "user"},
+            {"content": [self.COVEY], "role": "assistant"},
+        ]
+        long = short + [
+            {"content": [self.TITLE_Q], "role": "user"},
+            {"content": [self.TITLE_A], "role": "assistant"},
+        ]
+        res = apply_chat_template_and_tokenize(
+            [short, long], tok, num_image_crop=iter([1, 1]), max_length=4096
+        )
+        got = [self._decode(tok, row) for row in res["input_ids"]]
+        exp0 = (
+            "<|im_start|>user\nWho wrote this book?\n<fim_prefix><|img|><fim_suffix><|im_end|>\n"
+            "<|im_start|>assistant\nSylvie Covey<|im_end|>\n"
+        ).replace("<|img|>", "<|img|>" * 256)
+        exp1 = exp0 + (
+            "<|im_start|>user\nWhat is the title of this book?<|im_end|>\n"
+            "<|im_start|>assistant\nModern Printmaking: A Guide to Traditional and Digital Techniques<|im_end|>\n"
+        )
+        assert got == [exp0, exp1]
+
+    def test_invalid_content_type_raises(self):
+        import pytest as _pytest
+
+        from aria_tpu.data.chat import apply_chat_template_and_tokenize
+        from aria_tpu.data.tokenizer import ByteTokenizer
+
+        msgs = [{"content": [{"text": None, "type": "invalid"}], "role": "user"}]
+        with _pytest.raises(ValueError, match="[Uu]nknown content type"):
+            apply_chat_template_and_tokenize([msgs], ByteTokenizer())
