@@ -1,9 +1,10 @@
-"""ctypes bindings for the native C++ image preprocessing library.
+"""ctypes bindings for the native C++ host runtime library.
 
-Builds ``native/image_ops.cc`` on demand (g++ -O3 -shared) and exposes
-PIL-compatible bicubic resize + fused pad/normalize/CHW conversion. Falls back
-silently when no compiler is available — the pure-PIL path in
-vision_processor stays the reference implementation.
+Builds ``native/*.cc`` on demand (g++ -O3 -shared) into one shared object and
+exposes PIL-compatible bicubic resize + fused pad/normalize/CHW conversion
+(image_ops.cc) and sentencepiece-unigram Viterbi segmentation (spm_ops.cc).
+Falls back silently when no compiler is available — the pure-Python paths
+stay the reference implementations.
 """
 
 from __future__ import annotations
@@ -17,8 +18,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "image_ops.cc")
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libaria_image.so")
+_SRCS = [
+    os.path.join(_REPO_ROOT, "native", "image_ops.cc"),
+    os.path.join(_REPO_ROOT, "native", "spm_ops.cc"),
+]
+_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libaria_native.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -28,7 +32,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _LIB_PATH],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -44,10 +48,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("ARIA_TPU_NATIVE", "1") == "0":
             return None
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
-        ):
-            if not os.path.exists(_SRC) or not _build():
+        stale = not os.path.exists(_LIB_PATH) or any(
+            os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in _SRCS
+        )
+        if stale:
+            if not all(os.path.exists(s) for s in _SRCS) or not _build():
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -62,6 +68,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.aria_spm_create.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.aria_spm_create.restype = ctypes.c_void_p
+        lib.aria_spm_destroy.argtypes = [ctypes.c_void_p]
+        lib.aria_spm_segment.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.aria_spm_segment.restype = ctypes.c_int32
         _lib = lib
         return _lib
 

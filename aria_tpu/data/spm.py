@@ -143,6 +143,7 @@ class SentencePieceTokenizer:
         self.vocab_size = len(self.pieces) + len(
             [i for i in self.added_tokens.values() if i >= len(self.pieces)]
         )
+        self._native = None  # lazily: (lib, handle) | False
 
     @classmethod
     def from_file(cls, path: str, added_tokens: Optional[Dict[str, int]] = None):
@@ -150,8 +151,62 @@ class SentencePieceTokenizer:
             return cls(parse_model_proto(f.read()), added_tokens)
 
     # -------- unigram Viterbi over one normalized chunk
+    #
+    # The hot loop runs in native C++ (native/spm_ops.cc — the TPU framework's
+    # equivalent of the reference's sentencepiece C++ dependency,
+    # SURVEY.md §2.3) when the library is buildable; _segment_py is the
+    # bit-identical pure-Python reference implementation and fallback.
+
+    def _ensure_native(self):
+        if self._native is not None:
+            return self._native
+        import ctypes
+
+        import numpy as np
+
+        try:
+            from aria_tpu.data.native_ops import get_lib
+
+            lib = get_lib()
+        except Exception:
+            lib = None
+        if lib is None or not hasattr(lib, "aria_spm_create"):
+            self._native = False
+            return False
+        raw = [p.encode("utf-8") for p, _, _ in self.pieces]
+        data = b"".join(raw)
+        lens = np.asarray([len(r) for r in raw], np.int32)
+        scores = np.asarray(self.scores, np.float32)
+        types = np.asarray(self.types, np.int32)
+        handle = lib.aria_spm_create(
+            data,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(raw),
+        )
+        self._native = (lib, handle) if handle else False
+        return self._native
 
     def _segment(self, text: str) -> List[int]:
+        ns = self._ensure_native()
+        if ns:
+            import ctypes
+
+            import numpy as np
+
+            lib, handle = ns
+            b = text.encode("utf-8")
+            out = np.empty(len(b) + 8, np.int32)
+            n = lib.aria_spm_segment(
+                handle, b, len(b),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+            )
+            if n >= 0:
+                return out[:n].tolist()
+        return self._segment_py(text)
+
+    def _segment_py(self, text: str) -> List[int]:
         n = len(text)
         best = [float("-inf")] * (n + 1)
         back: List[Optional[Tuple[int, int]]] = [None] * (n + 1)

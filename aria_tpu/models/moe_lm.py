@@ -410,13 +410,29 @@ def _attention(
         new_cache = None
 
     if cp_mesh is not None and cache_kv is None:
-        # Sequence-parallel causal attention over the `context` mesh axis
-        # (DeepSpeed-Ulysses head-scatter; parallel/context.py). The 64K
-        # multimodal context (reference README.md:13) runs here when one
-        # chip's HBM can't hold the activations.
-        from aria_tpu.parallel.context import ulysses_attention
+        # Sequence-parallel causal attention over the `context` mesh axis.
+        # Two implementations (both net-new vs the reference, which has no
+        # sequence parallelism): DeepSpeed-Ulysses head-scatter
+        # (parallel/context.py, default) and ring attention with rotating KV
+        # blocks (parallel/ring.py — used when heads don't divide the axis,
+        # or forced via ARIA_TPU_CP=ring). The 64K multimodal context
+        # (reference README.md:13) runs here when one chip's HBM can't hold
+        # the activations.
+        import os
 
-        out = ulysses_attention(q, k, v, cp_mesh, causal=True)
+        c = cp_mesh.shape["context"]
+        use_ring = (
+            os.environ.get("ARIA_TPU_CP", "").lower() == "ring"
+            or cfg.num_heads % c != 0
+        )
+        if use_ring:
+            from aria_tpu.parallel.ring import ring_attention
+
+            out = ring_attention(q, k, v, cp_mesh, causal=True)
+        else:
+            from aria_tpu.parallel.context import ulysses_attention
+
+            out = ulysses_attention(q, k, v, cp_mesh, causal=True)
     elif use_flash:
         # Causal attention within the current block: for a from-zero prefill
         # this equals attending over the cache prefix (kv <= qi < S), so the
@@ -493,13 +509,18 @@ def _moe_ffn(
     T = flat.shape[0]
 
     has_expert_lora_early = lora is not None and ("w1" in lora or "w2" in lora)
+    if is_quantized_int4(w1_full):
+        e_stack = w1_full["q4"].shape[1]
+    elif isinstance(w1_full, dict):
+        e_stack = w1_full["q"].shape[1]
+    else:
+        e_stack = w1_full.shape[1]
     use_ep = (
         mesh is not None
         and "expert" in mesh.axis_names
         and mesh.shape["expert"] > 1
-        and not isinstance(w1_full, dict)  # quantized EP: future work
         and not has_expert_lora_early
-        and w1_full.shape[1] == cfg.num_experts  # shared experts not fused
+        and e_stack == cfg.num_experts  # shared experts not fused
         and T % mesh.shape["expert"] == 0
         and cfg.num_experts % mesh.shape["expert"] == 0
     )
@@ -508,8 +529,10 @@ def _moe_ffn(
         # instead of GSPMD all-gathering the [E, 2I, D] stacks.
         from aria_tpu.parallel.ep import experts_ep
 
-        w1l = jax.lax.dynamic_index_in_dim(w1_full, layer_idx, 0, keepdims=False)
-        w2l = jax.lax.dynamic_index_in_dim(w2_full, layer_idx, 0, keepdims=False)
+        _slice_l = lambda w: jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, keepdims=False), w
+        )
+        w1l, w2l = _slice_l(w1_full), _slice_l(w2_full)
         expert_out, z_loss, aux_loss = experts_ep(
             flat, layer["gate"].astype(jnp.float32), cfg.moe_topk, w1l, w2l, mesh,
             z_loss_coeff=cfg.moe_z_loss_coeff, aux_loss_coeff=cfg.moe_aux_loss_coeff,
@@ -708,8 +731,9 @@ def lm_forward(
         and cache is None
         and mask is None
         and S % mesh.shape["context"] == 0
-        and cfg.num_heads % mesh.shape["context"] == 0
     ):
+        # heads % context == 0 is only needed by Ulysses; ring attention
+        # (selected in _attention_block) has no head constraint.
         cp_mesh = mesh
 
     if mask is None and cache is None and cp_mesh is None:
@@ -737,41 +761,78 @@ def lm_forward(
 
     has_cache = cache is not None
 
-    def body(carry, xs):
-        if has_cache:
-            h, zl, al, kv = carry
-            layer, lr, l_idx = xs
-            pos = cache_pos
-        else:
-            h, zl, al = carry
-            layer, lr, l_idx = xs
-            kv, pos = None, None
-        normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
-        out, new_kv = _attention(
-            layer, cfg, normed, cos, sin, mask, kv, pos, l_idx, lr, lora_scale,
-            use_flash, dense_q4, cp_mesh, page_table, mesh is None,
-        )
-        h = h + out
-        ffn_out, z_loss, aux_loss = _moe_ffn(
-            layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training,
-            w1_full, w2_full, l_idx, lr, lora_scale, mesh,
-        )
-        h = h + ffn_out
-        if has_cache:
-            return (h, zl + z_loss, al + aux_loss, new_kv), None
-        return (h, zl + z_loss, al + aux_loss), None
+    def make_body(w1, w2, moe_mesh, rope_mask=None):
+        # rope_mask overrides the closure constants (PP stages must receive
+        # them as shard_map operands, not Auto-mesh closure captures)
+        cos_b, sin_b, mask_b = rope_mask if rope_mask is not None else (cos, sin, mask)
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        def body(carry, xs):
+            if has_cache:
+                h, zl, al, kv = carry
+                layer, lr, l_idx = xs
+                pos = cache_pos
+            else:
+                h, zl, al = carry
+                layer, lr, l_idx = xs
+                kv, pos = None, None
+            normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+            out, new_kv = _attention(
+                layer, cfg, normed, cos_b, sin_b, mask_b, kv, pos, l_idx, lr,
+                lora_scale, use_flash, dense_q4, cp_mesh, page_table, mesh is None,
+            )
+            h = h + out
+            ffn_out, z_loss, aux_loss = _moe_ffn(
+                layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training,
+                w1, w2, l_idx, lr, lora_scale, moe_mesh,
+            )
+            h = h + ffn_out
+            if has_cache:
+                return (h, zl + z_loss, al + aux_loss, new_kv), None
+            return (h, zl + z_loss, al + aux_loss), None
+
+        if remat:
+            return jax.checkpoint(body, prevent_cse=False)
+        return body
 
     zero = jnp.zeros((), jnp.float32)
     layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-    if has_cache:
+
+    use_pp = (
+        mesh is not None
+        and "pipe" in mesh.axis_names
+        and mesh.shape["pipe"] > 1
+        and not has_cache
+        and cp_mesh is None
+        and dense_q4 is None
+        and cfg.num_layers % mesh.shape["pipe"] == 0
+    )
+    if use_pp:
+        # GPipe microbatch pipeline over the `pipe` axis (parallel/pp.py):
+        # each stage scans its local L/p layers; LOCAL ids index the
+        # pipe-sharded [L]-stacked weights.
+        from aria_tpu.parallel.pp import pipeline_layers
+
+        def pp_stage(h, xs_loc, w1_loc, w2_loc, consts):
+            xs_l, lora_l = xs_loc
+            n_local = jax.tree.leaves(xs_l)[0].shape[0]
+            ids = jnp.arange(n_local, dtype=jnp.int32)
+            pbody = make_body(w1_loc, w2_loc, None, rope_mask=consts)
+            (h, zl, al), _ = jax.lax.scan(pbody, (h, zero, zero), (xs_l, lora_l, ids))
+            return h, zl, al
+
+        x, z_loss, aux_loss = pipeline_layers(
+            x, (xs_layers, lora_layers), w1_full, w2_full, (cos, sin, mask),
+            pp_stage, mesh,
+        )
+        new_cache = None
+    elif has_cache:
+        body = make_body(w1_full, w2_full, mesh)
         init = (x, zero, zero, cache)
         (x, z_loss, aux_loss, new_cache), _ = jax.lax.scan(
             body, init, (xs_layers, lora_layers, layer_ids)
         )
     else:
+        body = make_body(w1_full, w2_full, mesh)
         (x, z_loss, aux_loss), _ = jax.lax.scan(
             body, (x, zero, zero), (xs_layers, lora_layers, layer_ids)
         )

@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import Array
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -47,9 +47,17 @@ def _dispatch_to_devices(dest: Array, n: int, capacity: int):
 
 def _ep_body(x, gate, w1, w2, *, axis, topk, n, capacity,
              z_coeff, aux_coeff, training):
-    """Per-device body. x [T_loc, D]; w1 [E/n, 2I, D]; w2 [E/n, I, D]."""
-    from aria_tpu.ops.moe import experts_grouped
+    """Per-device body. x [T_loc, D]; w1 [E/n, 2I, D]; w2 [E/n, I, D].
 
+    Quantized stacks (int8 ``{"q", "s"}`` / int4 ``{"q4", ...}`` dicts, see
+    ops/quant.py) arrive as per-leaf expert-axis shards and are dequantized
+    device-locally — each owner touches only its own E/n experts, so the
+    all-to-all pattern (and the no-stack-gather property) is identical to the
+    bf16 path."""
+    from aria_tpu.ops.moe import experts_grouped
+    from aria_tpu.ops.quant import dequantize_expert_weights
+
+    w1, w2 = dequantize_expert_weights(w1, w2, dtype=x.dtype)
     T_loc, D = x.shape
     E_loc = w1.shape[0]
     E = E_loc * n
@@ -131,12 +139,15 @@ def experts_ep(
         _ep_body, axis=axis, topk=topk, n=n, capacity=capacity,
         z_coeff=z_loss_coeff, aux_coeff=aux_loss_coeff, training=training,
     )
+    # Quantized stacks are dicts; shard every leaf over its expert axis 0.
+    w1_spec = jax.tree.map(lambda _: P(axis), w1)
+    w2_spec = jax.tree.map(lambda _: P(axis), w2)
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None), P(None, None), P(axis, None, None), P(axis, None, None)),
+        in_specs=(P(axis, None), P(None, None), w1_spec, w2_spec),
         out_specs=(P(axis, None), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     out, z_loss, aux_loss = fn(x, gate, w1, w2)
     return out, z_loss, aux_loss

@@ -8,6 +8,7 @@ Replaces the reference's accelerate+DeepSpeed/NCCL distribution (SURVEY.md
 - ``expert``  : expert parallelism over the 64-expert tensors
 - ``model``   : Megatron-style tensor parallelism (heads / ffn hidden)
 - ``context`` : sequence/context parallelism for 64K attention
+- ``pipe``    : GPipe-style pipeline stages over the layer stack
 
 All collectives are compiled by XLA from sharding annotations — there is no
 NCCL-style runtime API to call.
@@ -22,7 +23,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "expert", "model", "context")
+AXES = ("data", "fsdp", "expert", "model", "context", "pipe")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,10 +33,11 @@ class MeshConfig:
     expert: int = 1
     model: int = 1
     context: int = 1
+    pipe: int = 1
 
     @property
     def shape(self) -> tuple[int, ...]:
-        return (self.data, self.fsdp, self.expert, self.model, self.context)
+        return (self.data, self.fsdp, self.expert, self.model, self.context, self.pipe)
 
     @property
     def num_devices(self) -> int:
@@ -65,15 +67,15 @@ def lm_param_specs() -> dict:
     return {
         "embed": P("model", "fsdp"),
         "layers": {
-            "attn_norm": P(None, None),
-            "ffn_norm": P(None, None),
-            "wqkv": P(None, "fsdp", "model"),
-            "wo": P(None, "model", "fsdp"),
-            "gate": P(None, None, "fsdp"),
-            "w1": P(None, "expert", "model", "fsdp"),
-            "w2": P(None, "expert", "model", "fsdp"),
-            "shared_w1": P(None, "fsdp", "model"),
-            "shared_w2": P(None, "model", "fsdp"),
+            "attn_norm": P("pipe", None),
+            "ffn_norm": P("pipe", None),
+            "wqkv": P("pipe", "fsdp", "model"),
+            "wo": P("pipe", "model", "fsdp"),
+            "gate": P("pipe", None, "fsdp"),
+            "w1": P("pipe", "expert", "model", "fsdp"),
+            "w2": P("pipe", "expert", "model", "fsdp"),
+            "shared_w1": P("pipe", "fsdp", "model"),
+            "shared_w2": P("pipe", "model", "fsdp"),
         },
         "final_norm": P(None),
         "lm_head": P("fsdp", "model"),

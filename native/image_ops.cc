@@ -6,7 +6,7 @@
 // pad + normalize + HWC->CHW conversion that writes the float32 tensor the
 // vision tower consumes. OpenMP-free, thread-safe, C ABI for ctypes.
 //
-// Build: g++ -O3 -march=native -shared -fPIC image_ops.cc -o libaria_image.so
+// Build: g++ -O3 -shared -fPIC image_ops.cc spm_ops.cc -o libaria_native.so
 
 #include <algorithm>
 #include <cmath>

@@ -42,6 +42,63 @@ class TestUlysses:
             ulysses_attention(q, q, q, mesh)
 
 
+class TestRingAttention:
+    @pytest.mark.parametrize("c", [2, 4])
+    def test_matches_unsharded_attention(self, c):
+        from aria_tpu.parallel.ring import ring_attention
+
+        mesh = make_mesh(MeshConfig(context=c))
+        B, S, H, D = 2, 32, 4, 16
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+
+        out = ring_attention(q, k, v, mesh)
+
+        qi = jnp.arange(S)
+        mask = (qi[None, :] <= qi[:, None])[None, None]
+        ref = sdpa(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_heads_not_divisible_ok(self):
+        """Ulysses needs H % c == 0; ring attention doesn't — 3 heads on a
+        4-device context ring."""
+        from aria_tpu.parallel.ring import ring_attention
+
+        mesh = make_mesh(MeshConfig(context=4))
+        B, S, H, D = 1, 32, 3, 16
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+        out = ring_attention(q, k, v, mesh)
+        qi = jnp.arange(S)
+        mask = (qi[None, :] <= qi[:, None])[None, None]
+        ref = sdpa(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_cp_forward_ring_matches_single_device(self, monkeypatch):
+        """lm_forward with ARIA_TPU_CP=ring routes attention through the ring
+        and must match the unsharded forward."""
+        monkeypatch.setenv("ARIA_TPU_CP", "ring")
+        cfg = TINY
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        S = 32
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, S), 0, cfg.text.vocab_size)
+
+        ref = aria_forward(params, cfg, tokens).logits
+
+        mesh = make_mesh(MeshConfig(context=4, fsdp=2))
+        sharded = shard_tree(params, aria_param_specs(), mesh)
+        tokens_s = jax.device_put(tokens, NamedSharding(mesh, P(("data", "fsdp"), "context")))
+        with mesh:
+            out = jax.jit(
+                lambda p, t: aria_forward(p, cfg, t, mesh=mesh).logits
+            )(sharded, tokens_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
 class TestContextParallelForward:
     def test_cp_forward_matches_single_device(self):
         """lm_forward with a context>1 mesh routes attention through Ulysses
@@ -93,6 +150,62 @@ class TestContextParallelForward:
         np.testing.assert_allclose(float(m_cp["loss"]), float(m_ref["loss"]), rtol=2e-3)
 
 
+class TestPipelineParallel:
+    def test_pp_forward_matches_single_device(self):
+        """pipe=2 GPipe forward (2 microbatches) must produce the exact
+        single-device logits — per-token compute is unchanged, only the
+        schedule differs."""
+        cfg = TINY  # 2 layers -> 1 layer per stage
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        B, S = 4, 16
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.text.vocab_size)
+
+        ref = aria_forward(params, cfg, tokens).logits
+
+        mesh = make_mesh(MeshConfig(fsdp=2, pipe=2))
+        sharded = shard_tree(params, aria_param_specs(), mesh)
+        tokens_s = jax.device_put(tokens, NamedSharding(mesh, P(("data", "fsdp"))))
+        with mesh:
+            out = jax.jit(
+                lambda p, t: aria_forward(p, cfg, t, mesh=mesh).logits
+            )(sharded, tokens_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_pp_train_step_loss_matches(self):
+        """CE loss under pipe=2 must match single-device (z-loss microbatch
+        averaging is exact; the switch aux loss is the standard per-microbatch
+        approximation, compared loosely)."""
+        from aria_tpu.train.step import TrainConfig, init_train_state, train_step
+
+        cfg = TINY
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tc = TrainConfig(freeze_vit=True, freeze_projector=True)
+        B, S = 4, 16
+        tokens = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg.text.vocab_size)
+        )
+        batch = {"input_ids": jnp.asarray(tokens), "labels": jnp.asarray(tokens)}
+
+        state, opt = init_train_state(params, tc)
+        _, m_ref = jax.jit(lambda s, b: train_step(s, b, cfg, tc, opt))(state, batch)
+
+        mesh = make_mesh(MeshConfig(fsdp=2, pipe=2))
+        sharded = shard_tree(params, aria_param_specs(), mesh)
+        state_s, opt_s = init_train_state(sharded, tc)
+        batch_s = {
+            k: jax.device_put(v, NamedSharding(mesh, P(("data", "fsdp"))))
+            for k, v in batch.items()
+        }
+        with mesh:
+            _, m_pp = jax.jit(
+                lambda s, b: train_step(s, b, cfg, tc, opt_s, mesh=mesh)
+            )(state_s, batch_s)
+        np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]), rtol=2e-3)
+        np.testing.assert_allclose(
+            float(m_pp["aux_loss"]), float(m_ref["aux_loss"]), rtol=0.2
+        )
+
+
 class TestExpertParallel:
     def _reference(self, x, gate, topk, w1, w2):
         from aria_tpu.ops.moe import experts_grouped, route_topk
@@ -118,6 +231,38 @@ class TestExpertParallel:
                 lambda x, g, a, b: experts_ep(x, g, k, a, b, mesh)
             )(x, gate, w1, w2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("fmt", ["int8", "int4"])
+    def test_ep_quantized_matches_unsharded(self, fmt):
+        """Quantized expert stacks shard per-leaf over the expert axis and are
+        dequantized owner-locally; output must equal the unsharded quantized
+        path exactly (same dequantized weights, same dispatch)."""
+        from aria_tpu.parallel.ep import experts_ep
+        from aria_tpu.ops.quant import (
+            _with_s8, dequantize_expert_weights, quantize_expert_int4,
+            quantize_weight,
+        )
+
+        rng = np.random.RandomState(1)
+        T, D, E, k, I = 32, 512, 8, 2, 64  # D=512 so int4 grouping (256 lanes) engages
+        x = jnp.asarray(rng.randn(T, D).astype(np.float32))
+        gate = jnp.asarray(rng.randn(E, D).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(E, 2 * I, D).astype(np.float32)) * 0.05
+        w2 = jnp.asarray(rng.randn(E, I, D).astype(np.float32)) * 0.05
+        if fmt == "int4":
+            qw1, qw2 = quantize_expert_int4(w1, w2)
+        else:
+            qw1 = _with_s8(quantize_weight(w1, input_axis=-1))
+            qw2 = _with_s8(quantize_weight(w2, input_axis=-2))
+
+        d1, d2 = dequantize_expert_weights(qw1, qw2, dtype=jnp.float32)
+        ref = self._reference(x, gate, k, d1, d2)
+        mesh = make_mesh(MeshConfig(expert=4))
+        with mesh:
+            out, _, _ = jax.jit(
+                lambda x, g, a, b: experts_ep(x, g, k, a, b, mesh)
+            )(x, gate, qw1, qw2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
     def test_ep_hlo_has_all_to_all_and_no_all_gather(self):
         """The dispatch must move TOKENS (all-to-all), never the expert

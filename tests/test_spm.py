@@ -79,6 +79,34 @@ class TestSPM:
         assert tok.pieces[ids[0]][0] == WS + "hello"
 
 
+class TestNativeSegment:
+    """native/spm_ops.cc must produce ids bit-identical to the pure-Python
+    Viterbi on every path: normal pieces, ties, byte fallback, unicode."""
+
+    def test_native_matches_python(self, tok):
+        from aria_tpu.data.native_ops import get_lib
+
+        if get_lib() is None or not hasattr(get_lib(), "aria_spm_create"):
+            pytest.skip("no native toolchain")
+        assert tok._ensure_native(), "native spm handle should build"
+        texts = [
+            "hello world", "hello hello world", "abc", "héllo",
+            "  double  spaces ", "héllo wörld ζω", "", "h", "x" * 300,
+            "hello\nworld\tmix", "🙂 emoji héllo",
+        ]
+        for t in texts:
+            norm = WS + t.replace(" ", WS)
+            assert tok._segment(norm) == tok._segment_py(norm), t
+
+    def test_encode_uses_native(self, tok):
+        from aria_tpu.data.native_ops import get_lib
+
+        if get_lib() is None or not hasattr(get_lib(), "aria_spm_create"):
+            pytest.skip("no native toolchain")
+        ids = tok.encode("<|im_start|>hello world<|im_end|>")
+        assert tok.decode(ids) == "<|im_start|>hello world<|im_end|>"
+
+
 class TestLoadTokenizer:
     def test_spm_fallback_from_dir(self, tmp_path, tok):
         from aria_tpu.data.spm import encode_model_proto
