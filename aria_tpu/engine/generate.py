@@ -217,23 +217,38 @@ class Engine:
         stopped = first in stop_ids
         pos = true_len
         cur = next_tok
-        steps = 0
-        while not stopped and len(generated) < gen.max_new_tokens:
-            n = min(gen.decode_chunk, gen.max_new_tokens - len(generated))
-            self._rng, rng_d = jax.random.split(self._rng)
-            toks, cache = self._decode_chunk_jit(
-                self.params, cur, cache, jnp.int32(pos), rng_d,
-                n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
-            )
-            toks_host = np.asarray(toks)[:, 0].tolist()
-            steps += n
-            pos += n
-            cur = toks[-1]
-            for t in toks_host:
-                generated.append(t)
-                if t in stop_ids or (stop_check is not None and stop_check(generated)):
-                    stopped = True
-                    break
+        planned = len(generated)
+        pending = None  # chunk dispatched but not yet read back
+        # One chunk runs ahead of the host: chunk k+1 is dispatched (it only
+        # needs chunk k's last token, a device array) BEFORE chunk k's tokens
+        # are synced for stop checks, so the dispatch round-trip — ~10s of ms
+        # through a remote-TPU relay — overlaps device compute instead of
+        # serializing with it. On a stop, at most one speculative chunk of
+        # compute is discarded (the reference pays a per-step sync instead,
+        # gptfast/generate.py:324-335).
+        while True:
+            if not stopped and planned < gen.max_new_tokens:
+                n = min(gen.decode_chunk, gen.max_new_tokens - planned)
+                self._rng, rng_d = jax.random.split(self._rng)
+                toks, cache = self._decode_chunk_jit(
+                    self.params, cur, cache, jnp.int32(pos), rng_d,
+                    n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
+                )
+                nxt = toks
+                planned += n
+                pos += n
+                cur = toks[-1]
+            else:
+                nxt = None
+            if pending is not None and not stopped:
+                for t in np.asarray(pending)[:, 0].tolist():
+                    generated.append(t)
+                    if t in stop_ids or (stop_check is not None and stop_check(generated)):
+                        stopped = True
+                        break
+            pending = nxt
+            if pending is None:
+                break
         t2 = time.perf_counter()
 
         # Trim everything after (and including) a stop token.

@@ -279,7 +279,15 @@ def _attention(
 
         def _d4(h2d, w):
             if use_pallas() and allow_kernels:
-                return dense_int4(h2d, w, layer_idx)
+                import os
+
+                # Largest column tile dividing F (cap 1536): fewer grid steps
+                # -> less per-step kernel overhead in the S=1 decode matvec.
+                F = w["q4t"].shape[1]
+                tn_env = os.environ.get("ARIA_TPU_DENSE_TN")
+                cands = (int(tn_env),) if tn_env else (1536, 1280, 768, 512, 256)
+                tn = next((t for t in cands if F % t == 0), 256)
+                return dense_int4(h2d, w, layer_idx, tn=tn)
             wl = {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
                   for k2, v in w.items()}
             return h2d @ dequantize_dense_int4(wl, dtype=h2d.dtype)
@@ -610,8 +618,23 @@ def _moe_ffn(
             moe_decode_quant,
         )
 
+        import os
+
         I = cfg.moe_intermediate_size
-        ft = next((f for f in (512, 256, 128) if I % f == 0), None)
+        # Pick the LARGEST legal row tile: fewer grid steps beat smaller
+        # blocks — per-step kernel overhead (~1.2us) dominated the decode
+        # profile at ft=128 (104 steps/layer = 130us/layer vs the 62us HBM
+        # roofline). Legal = the full I (one tile per slot), else a multiple
+        # of 128 dividing I (the scale blocks are [8, ft] so ft is a lane
+        # dimension). ARIA_TPU_MOE_FT overrides for tuning.
+        ft_env = os.environ.get("ARIA_TPU_MOE_FT")
+        if ft_env:
+            cands = (int(ft_env),)
+        elif I % 128 == 0 and I <= 2048:
+            cands = (I,)
+        else:
+            cands = (1024, 512, 256, 128)
+        ft = next((f for f in cands if I % f == 0), None)
         if not ft:
             use_decode_kernel = False
         elif is_quantized_int4(w1_full):

@@ -65,22 +65,28 @@ def dequantize_dense_int4(w: dict, dtype=jnp.bfloat16) -> Array:
     return jnp.swapaxes(wt, -1, -2).astype(dtype)
 
 
-def _unpack4(p, dtype):
-    b = p.astype(jnp.int32)
-    lo = ((b << 28) >> 28).astype(dtype)
-    hi = ((b << 24) >> 28).astype(dtype)
-    return jnp.concatenate([lo, hi], axis=-1)
-
-
 def _kernel(ng, gs, l_ref, x_ref, w_ref, sg_ref, out_ref):
+    # MXU-side unpacking over biased-lo bytes (quant.pack_int4): with
+    # hi16 = B & 0xF0 (one int8 mask),
+    #   xa @ lo + xb @ hi = xa @ B + (xb/16 - xa) @ hi16 - 8*sum(xa)
+    # — raw bytes feed the first dot; see moe_decode_kernel._body_q4.
     x = x_ref[:]  # [tm, D]
     gsp = gs // 2
     acc = None
     for g in range(ng):
-        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=1)
-        wg = _unpack4(w_ref[0][:, g * gsp : (g + 1) * gsp], x.dtype)  # [tn, gs]
-        d = jax.lax.dot_general(xg, wg, (((1,), (1,)), ((), ())),
+        xa = jax.lax.slice_in_dim(x, g * gs, g * gs + gsp, axis=1)
+        xb = jax.lax.slice_in_dim(x, g * gs + gsp, (g + 1) * gs, axis=1)
+        xb16 = xb * jnp.asarray(1.0 / 16.0, x.dtype)  # exact power-of-2 scale
+        xd = jnp.concatenate([xa, xb16, -xa], axis=1)  # fused 3-part dot
+        bias = 8.0 * jnp.sum(xa.astype(jnp.float32), axis=1, keepdims=True)
+        pg = w_ref[0][:, g * gsp : (g + 1) * gsp]  # [tn, gsp] packed bytes
+        hi16 = (pg & jnp.int8(-16)).astype(x.dtype)
+        wg = jnp.concatenate([pg.astype(x.dtype), hi16, hi16], axis=1)
+        d = (
+            jax.lax.dot_general(xd, wg, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+            - bias
+        )
         d = d * sg_ref[0][g : g + 1, :]  # [tm, tn] * [1, tn]
         acc = d if acc is None else acc + d
     out_ref[:] = acc

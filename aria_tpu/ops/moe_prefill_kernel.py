@@ -44,11 +44,14 @@ TM = 128  # row tile: one MXU pass per (row-tile, out-tile)
 
 
 def _unpack4(p, dtype):
-    """[R, C] int8 paired nibbles -> [R, 2C] (lo block then hi block).
-    Shifts in int32: Mosaic cannot legalize int8 vector shifts."""
+    """[R, C] int8 paired nibbles -> [R, 2C] (lo block then hi block;
+    biased-lo layout, see quant.pack_int4). Arithmetic in int32: Mosaic
+    cannot legalize int8 vector shifts. Here the unpack amortizes over the
+    TM=128-token row tile, so per-element cost is negligible (unlike decode,
+    which uses the MXU-unpack identity)."""
     b = p.astype(jnp.int32)
-    lo = ((b << 28) >> 28).astype(dtype)
-    hi = ((b << 24) >> 28).astype(dtype)
+    lo = ((b & 0xF) - 8).astype(dtype)
+    hi = (b >> 4).astype(dtype)
     return jnp.concatenate([lo, hi], axis=-1)
 
 

@@ -228,22 +228,32 @@ def is_quantized_int4(w: Any) -> bool:
 
 def pack_int4(q: Array, group: int) -> Array:
     """Pack int4 values (int8 storage, range [-8, 7]) two-per-byte with
-    within-group pairing along the last axis."""
+    within-group pairing along the last axis.
+
+    BIASED-LO layout: byte B = (lo + 8) | (hi << 4), i.e. B = 16*hi + (lo+8)
+    in exact int8 arithmetic. The payoff is a pure-linear unpack identity the
+    kernels exploit to do the unpacking on the MXU instead of the VPU:
+
+        hi = B >> 4 (arithmetic)     lo = B - 16*hi - 8
+        xa @ lo + xb @ hi = xa @ B + (xb - 16*xa) @ hi - 8*sum(xa)
+
+    one dot with the RAW bytes, one dot with `hi` (a single shift chain over
+    half the unpacked elements), and a scalar row-sum correction."""
     *lead, A = q.shape
     assert A % group == 0 and group % 2 == 0, (A, group)
     qr = q.reshape(*lead, A // group, 2, group // 2)
-    lo = qr[..., 0, :] & 0xF
+    lo = (qr[..., 0, :] + 8) & 0xF
     hi = qr[..., 1, :] << 4  # int8 wrap is the desired low byte
     return (lo | hi).astype(jnp.int8).reshape(*lead, A // 2)
 
 
 def unpack_int4(p: Array, group: int, dtype=jnp.bfloat16) -> Array:
-    """Inverse of pack_int4 (int8 shift arithmetic, no int32 temps)."""
+    """Inverse of pack_int4 (int8 arithmetic, no int32 temps)."""
     *lead, Ap = p.shape
     gp = group // 2
     pr = p.reshape(*lead, Ap // gp, gp)
-    lo = ((pr << 4) >> 4).astype(dtype)  # arithmetic shifts sign-extend
-    hi = (pr >> 4).astype(dtype)
+    lo = ((pr & 0xF) - 8).astype(dtype)  # remove the +8 storage bias
+    hi = (pr >> 4).astype(dtype)  # arithmetic shift sign-extends
     return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * Ap)
 
 
