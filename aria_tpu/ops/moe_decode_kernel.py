@@ -9,16 +9,14 @@ expert's weight tiles HBM->VMEM directly and fuses the GLU + combine:
 
     out[t] = sum_s weights[t,s] * ( silu(x[t] @ w1g[e].T) * (x[t] @ w1u[e].T) ) @ w2[e]
 
-Two dedup tricks keep HBM traffic at the *unique* active expert set:
-
-- routing slots are sorted by expert id on device, and
-- the grid iterates (ft-tile, slot) with the tile index MAJOR, so consecutive
-  grid steps that map to the same (layer, expert, tile) block are served from
-  the already-resident VMEM block (Pallas only re-DMAs when the index map
-  output changes).
-
-For batched decode (continuous batching, T lanes x top-k slots) this makes
-shared experts across lanes free, unlike the reference's per-token gather.
+The grid iterates the UNIQUE active expert set (jnp.unique with static size
+U = min(T*k, E)), not routing slots: each expert's weights are DMA'd once
+and its FFN computed once over ALL T tokens (extra rows are ~free — the MXU
+absorbs them and the per-byte converts dominate), with contributions
+combined through a dense [E, T] weight table block-indexed by expert id.
+For batched decode (continuous batching, T lanes x top-k slots) both HBM
+traffic and compute therefore scale with |active experts|, not T*k — shared
+experts across lanes are free, unlike the reference's per-token gather.
 
 Weights are passed as the FULL layer stack `[L, E, ...]` and indexed inside
 the BlockSpecs: a pallas call is opaque to XLA, so a scan-sliced per-layer
@@ -43,24 +41,41 @@ from jax.experimental.pallas import tpu as pltpu
 _CONTRACT_LAST = (((1,), (1,)), ((), ()))  # x[1,D] . w[ft,D] -> [1,ft]
 
 
-def _sort_slots(indices: Array, weights: Array):
-    """Sort routing slots by expert id. Returns (expert_by_slot [S],
-    token_by_slot [S], weight_by_slot [S])."""
+def _unique_meta(indices: Array, weights: Array, layer_idx: Array, E: int):
+    """Unique active experts (static size U = min(T*k, E)) + the dense
+    [E, T, 128] combine table the kernels block-index by expert id.
+
+    Returns (meta = [ids_clamped | valid | layer], wd, U)."""
     T, k = indices.shape
-    flat_e = indices.reshape(-1)
-    order = jnp.argsort(flat_e)  # stability irrelevant: slots commute
-    return (
-        flat_e[order].astype(jnp.int32),
-        (order // k).astype(jnp.int32),
-        weights.reshape(-1)[order].astype(jnp.float32),
+    U = min(T * k, E)
+    flat_e = indices.reshape(-1).astype(jnp.int32)
+    if T == 1:
+        # top-k slots of one token are already distinct experts: skip the
+        # unique-sort AND the dense scatter (both serialize with the kernels
+        # 28x per decode step) — wd is indexed positionally by slot (the
+        # kernels' wd BlockSpec uses `u`, not the expert id, when T == 1)
+        ids_c = flat_e
+        valid = jnp.ones((U,), jnp.int32)
+        wdense = weights.reshape(U, 1).astype(jnp.float32)
+        wd = jnp.broadcast_to(wdense[:, :, None], (U, T, 128))
+    else:
+        ids = jnp.unique(flat_e, size=U, fill_value=E)  # sorted, padded with E
+        valid = (ids < E).astype(jnp.int32)
+        ids_c = jnp.minimum(ids, E - 1)
+        tok_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+        wdense = jnp.zeros((E, T), jnp.float32).at[flat_e, tok_ids].add(
+            weights.reshape(-1).astype(jnp.float32)
+        )
+        wd = jnp.broadcast_to(wdense[:, :, None], (E, T, 128))
+    meta = jnp.concatenate(
+        [ids_c, valid, jnp.atleast_1d(layer_idx).astype(jnp.int32)]
     )
+    return meta, jnp.asarray(wd), U
 
 
-def _body(x_ref, w1g, w1u, w2, out_ref, t, slot_w, sg=None, su=None, s2=None):
-    x_all = x_ref[:]  # [T, D]
-    T, D = x_all.shape
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
-    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
+def _ffn(x, w1g, w1u, w2, sg=None, su=None, s2=None):
+    """One expert's GLU FFN over ALL T tokens (bf16/int8 weights).
+    Returns partial [T, D] f32."""
     gate = jax.lax.dot_general(
         x, w1g.astype(x.dtype), _CONTRACT_LAST, preferred_element_type=jnp.float32
     )
@@ -73,39 +88,45 @@ def _body(x_ref, w1g, w1u, w2, out_ref, t, slot_w, sg=None, su=None, s2=None):
     h = (gate * jax.lax.logistic(gate)) * up  # silu(gate) * up, fp32
     partial = jnp.dot(
         h.astype(x.dtype), w2.astype(x.dtype), preferred_element_type=jnp.float32
-    )  # [1, D]
+    )  # [T, D]
     if s2 is not None:
         partial = partial * s2
-    out_ref[:] += jnp.where(row_ids == t, slot_w * partial, 0.0)
+    return partial
 
 
-def _kernel(meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref, out_ref):
+def _kernel(meta_ref, x_ref, w1g_ref, w1u_ref, w2_ref, wd_ref, out_ref):
     f = pl.program_id(0)
-    s = pl.program_id(1)
-    S = pl.num_programs(1)
+    u = pl.program_id(1)
+    U = pl.num_programs(1)
 
-    @pl.when(jnp.logical_and(f == 0, s == 0))
+    @pl.when(jnp.logical_and(f == 0, u == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    t = meta_ref[S + s]  # token_by_slot
-    _body(x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0], out_ref, t, wsort_ref[s])
+    @pl.when(meta_ref[U + u] == 1)
+    def _():
+        partial = _ffn(x_ref[:], w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0])
+        out_ref[:] += wd_ref[0][:, 0:1] * partial
 
 
-def _kernel_q(meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref, sg_ref, su_ref, s2_ref, out_ref):
+def _kernel_q(meta_ref, x_ref, w1g_ref, w1u_ref, w2_ref, sg_ref, su_ref,
+              s2_ref, wd_ref, out_ref):
     f = pl.program_id(0)
-    s = pl.program_id(1)
-    S = pl.num_programs(1)
+    u = pl.program_id(1)
+    U = pl.num_programs(1)
 
-    @pl.when(jnp.logical_and(f == 0, s == 0))
+    @pl.when(jnp.logical_and(f == 0, u == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    t = meta_ref[S + s]
-    _body(
-        x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0], out_ref, t, wsort_ref[s],
-        sg=sg_ref[0, 0, 0:1, :], su=su_ref[0, 0, 0:1, :], s2=s2_ref[0, 0, 0:1, :],
-    )
+    @pl.when(meta_ref[U + u] == 1)
+    def _():
+        partial = _ffn(
+            x_ref[:], w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0],
+            sg=sg_ref[0, 0, 0:1, :], su=su_ref[0, 0, 0:1, :],
+            s2=s2_ref[0, 0, 0:1, :],
+        )
+        out_ref[:] += wd_ref[0][:, 0:1] * partial
 
 
 def _unpack4(p, dtype):
@@ -125,9 +146,8 @@ def _hi16(p, dtype):
     return (p & jnp.int8(-16)).astype(dtype)
 
 
-def _body_q4(x_ref, w1g_p, w1u_p, w2_p, sgg, sgu, s2, out_ref, t, slot_w,
-             ng, gs):
-    """int4 body with MXU-side unpacking.
+def _ffn_q4(x, w1g_p, w1u_p, w2_p, sgg, sgu, s2, ng, gs):
+    """One expert's GLU FFN over ALL T tokens, int4 with MXU-side unpacking.
 
     Biased-lo bytes (quant.pack_int4): B = 16*hi + (lo+8) exactly. With
     hi16 = B & 0xF0 (= 16*hi; one int8 mask, no shifts or widening):
@@ -144,12 +164,11 @@ def _body_q4(x_ref, w1g_p, w1u_p, w2_p, sgg, sgu, s2, out_ref, t, slot_w,
     + convert) — ~4x fewer VPU ops per byte than shifting out both nibbles,
     moving the unpack work onto the MXU where it's free. The per-nibble
     unpack made the kernel VPU-bound at ~109us/layer vs the 62us roofline.
-    """
-    x_all = x_ref[:]  # [T, D]
-    T, D = x_all.shape
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
-    x = jnp.sum(jnp.where(row_ids == t, x_all, 0), axis=0, keepdims=True)  # [1, D]
 
+    Computing all T rows at once costs ~the same as one row (the per-byte
+    converts dominate; the MXU absorbs extra rows), so batched decode pays
+    per UNIQUE expert, not per routing slot. Returns partial [T, D] f32.
+    """
     gsp = gs // 2
     gate = None
     up = None
@@ -158,7 +177,7 @@ def _body_q4(x_ref, w1g_p, w1u_p, w2_p, sgg, sgu, s2, out_ref, t, slot_w,
         xb = jax.lax.slice_in_dim(x, g * gs + gsp, (g + 1) * gs, axis=1)
         xb16 = xb * jnp.asarray(1.0 / 16.0, x.dtype)  # exact power-of-2 scale
         xd = jnp.concatenate([xa, xb16, -xa], axis=1)  # one fused 3-part dot
-        bias = 8.0 * jnp.sum(xa.astype(jnp.float32))  # the lo +8 storage bias
+        bias = 8.0 * jnp.sum(xa.astype(jnp.float32), axis=1, keepdims=True)
         pg = w1g_p[:, g * gsp : (g + 1) * gsp]
         pu = w1u_p[:, g * gsp : (g + 1) * gsp]
         hg = _hi16(pg, x.dtype)
@@ -177,58 +196,55 @@ def _body_q4(x_ref, w1g_p, w1u_p, w2_p, sgg, sgu, s2, out_ref, t, slot_w,
         ) * sgu[g : g + 1, :]
         gate = dg if gate is None else gate + dg
         up = du if up is None else up + du
-    h = (gate * jax.lax.logistic(gate)) * up  # [1, ft] fp32
+    h = (gate * jax.lax.logistic(gate)) * up  # [T, ft] fp32
 
     # w2 packs over the OUTPUT axis (col j pairs j+D/2): with o16 = h @ hi16,
     # out_hi = o16/16 and out_lo = h @ B - o16 - 8*sum(h).
     hb = h.astype(x.dtype)
     o_p = jnp.dot(hb, w2_p.astype(x.dtype), preferred_element_type=jnp.float32)
     o16 = jnp.dot(hb, _hi16(w2_p, x.dtype), preferred_element_type=jnp.float32)
-    h_bias = 8.0 * jnp.sum(hb.astype(jnp.float32))
+    h_bias = 8.0 * jnp.sum(hb.astype(jnp.float32), axis=1, keepdims=True)
     partial = jnp.concatenate([o_p - o16 - h_bias, o16 * (1.0 / 16.0)], axis=-1)
-    partial = partial * s2  # [1, D] * c/7
-    out_ref[:] += jnp.where(row_ids == t, slot_w * partial, 0.0)
+    return partial * s2  # [T, D] * c/7
 
 
-def _kernel_q4(ng, gs, meta_ref, wsort_ref, x_ref, w1g_ref, w1u_ref, w2_ref,
-               sgg_ref, sgu_ref, s2_ref, out_ref):
+def _kernel_q4(ng, gs, meta_ref, x_ref, w1g_ref, w1u_ref, w2_ref,
+               sgg_ref, sgu_ref, s2_ref, wd_ref, out_ref):
+    """Grid (nf, U): one step per (intermediate tile, UNIQUE expert). The
+    dense combine table wd [E, T, 128] is block-indexed by the expert id, so
+    every token's contribution for this expert lands in one step."""
     f = pl.program_id(0)
-    s = pl.program_id(1)
-    S = pl.num_programs(1)
+    u = pl.program_id(1)
+    U = pl.num_programs(1)
 
-    @pl.when(jnp.logical_and(f == 0, s == 0))
+    @pl.when(jnp.logical_and(f == 0, u == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    t = meta_ref[S + s]
-    _body_q4(
-        x_ref, w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0],
-        sgg_ref[0, 0], sgu_ref[0, 0], s2_ref[0, 0, 0:1, :], out_ref,
-        t, wsort_ref[s], ng, gs,
-    )
+    valid = meta_ref[U + u]
+
+    @pl.when(valid == 1)
+    def _():
+        partial = _ffn_q4(
+            x_ref[:], w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0],
+            sgg_ref[0, 0], sgu_ref[0, 0], s2_ref[0, 0, 0:1, :], ng, gs,
+        )
+        out_ref[:] += wd_ref[0][:, 0:1] * partial
 
 
-def _pack_meta(layer_idx, indices, weights):
-    """int32 scalar-prefetch array [expert_by_slot | token_by_slot | layer_idx]
-    plus the f32 sorted combine weights."""
-    e_s, t_s, w_s = _sort_slots(indices, weights)
-    meta = jnp.concatenate([e_s, t_s, jnp.atleast_1d(layer_idx).astype(jnp.int32)])
-    return meta, w_s
+def _specs(ft, nf, D, U, T, quant):
+    """Index maps: grid (f, u); meta[u] = unique expert, meta[-1] = layer."""
 
+    L_IDX = 2 * U  # meta[-1]
 
-def _specs(ft, nf, D, n_slots, quant):
-    """Index maps: grid (f, slot); meta[slot] = expert, meta[-1] = layer."""
+    def w1g(f, u, m):
+        return (m[L_IDX], m[u], f, 0)
 
-    L_IDX = 2 * n_slots  # meta[-1]
+    def w1u(f, u, m):
+        return (m[L_IDX], m[u], nf + f, 0)
 
-    def w1g(f, s, m, w):
-        return (m[L_IDX], m[s], f, 0)
-
-    def w1u(f, s, m, w):
-        return (m[L_IDX], m[s], nf + f, 0)
-
-    def w2(f, s, m, w):
-        return (m[L_IDX], m[s], f, 0)
+    def w2(f, u, m):
+        return (m[L_IDX], m[u], f, 0)
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
@@ -238,19 +254,23 @@ def _specs(ft, nf, D, n_slots, quant):
     ]
     if quant:
         specs += [
-            pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, f),
+            pl.BlockSpec((1, 1, 8, ft), lambda f, u, m: (m[L_IDX], m[u], 0, f),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, nf + f),
+            pl.BlockSpec((1, 1, 8, ft), lambda f, u, m: (m[L_IDX], m[u], 0, nf + f),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, D), lambda f, s, m, w: (m[L_IDX], m[s], 0, 0),
+            pl.BlockSpec((1, 1, 8, D), lambda f, u, m: (m[L_IDX], m[u], 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    wd_map = (lambda f, u, m: (u, 0, 0)) if T == 1 else (lambda f, u, m: (m[u], 0, 0))
+    specs.append(
+        pl.BlockSpec((1, T, 128), wd_map, memory_space=pltpu.VMEM)  # combine w
+    )
     return specs
 
 
-def _call(kernel, specs, grid, out_shape, interpret, meta, wsort, *arrays):
+def _call(kernel, specs, grid, out_shape, interpret, meta, *arrays):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -261,12 +281,12 @@ def _call(kernel, specs, grid, out_shape, interpret, meta, wsort, *arrays):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # single-tile ft (one grid step per routing slot) needs ~17MB of
+            # single-tile ft (one grid step per expert) needs ~17MB of
             # unpack temporaries — raise the 16MB default scoped-vmem cap
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(meta, wsort, *arrays)
+    )(meta, *arrays)
 
 
 @functools.partial(jax.jit, static_argnames=("ft", "interpret"))
@@ -282,7 +302,6 @@ def moe_decode(
     interpret: bool = False,
 ) -> Array:
     T, D = x.shape
-    k = indices.shape[1]
     if w1.ndim == 3:
         w1, w2 = w1[None], w2[None]
         layer_idx = jnp.int32(0)
@@ -290,35 +309,39 @@ def moe_decode(
     I = I2 // 2
     assert I % ft == 0, f"moe intermediate {I} must be divisible by tile {ft}"
     nf = I // ft
-    n_slots = T * k
 
-    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    meta, wd, U = _unique_meta(indices, weights, layer_idx, E)
     out = _call(
-        _kernel, _specs(ft, nf, D, n_slots, quant=False), (nf, n_slots),
+        _kernel, _specs(ft, nf, D, U, T, quant=False), (nf, U),
         jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
-        meta, wsort, x, w1, w1, w2,
+        meta, x, w1, w1, w2, wd,
     )
     return out.astype(x.dtype)
 
 
-def _specs_q4(ft, nf, Dp, D, n_slots):
-    """Index maps for the int4 kernel: packed weight blocks + scale blocks."""
-    L_IDX = 2 * n_slots
+def _specs_q4(ft, nf, Dp, D, U, T):
+    """Index maps for the int4 kernel, grid (f, u): meta[u] = unique expert
+    id (clamped), meta[U + u] = valid flag, meta[-1] = layer."""
+    L_IDX = 2 * U
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
-        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], f, 0),
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, u, m: (m[L_IDX], m[u], f, 0),
                      memory_space=pltpu.VMEM),  # w1 gate rows, packed
-        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], nf + f, 0),
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, u, m: (m[L_IDX], m[u], nf + f, 0),
                      memory_space=pltpu.VMEM),  # w1 up rows, packed
-        pl.BlockSpec((1, 1, ft, Dp), lambda f, s, m, w: (m[L_IDX], m[s], f, 0),
+        pl.BlockSpec((1, 1, ft, Dp), lambda f, u, m: (m[L_IDX], m[u], f, 0),
                      memory_space=pltpu.VMEM),  # w2 rows, packed over D
-        pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, f),
+        pl.BlockSpec((1, 1, 8, ft), lambda f, u, m: (m[L_IDX], m[u], 0, f),
                      memory_space=pltpu.VMEM),  # sg gate: rows = D-groups
-        pl.BlockSpec((1, 1, 8, ft), lambda f, s, m, w: (m[L_IDX], m[s], 0, nf + f),
+        pl.BlockSpec((1, 1, 8, ft), lambda f, u, m: (m[L_IDX], m[u], 0, nf + f),
                      memory_space=pltpu.VMEM),  # sg up (r folded in)
-        pl.BlockSpec((1, 1, 8, D), lambda f, s, m, w: (m[L_IDX], m[s], 0, 0),
+        pl.BlockSpec((1, 1, 8, D), lambda f, u, m: (m[L_IDX], m[u], 0, 0),
                      memory_space=pltpu.VMEM),  # s2 = c/7
+        pl.BlockSpec((1, T, 128),
+                     (lambda f, u, m: (u, 0, 0)) if T == 1
+                     else (lambda f, u, m: (m[u], 0, 0)),
+                     memory_space=pltpu.VMEM),  # dense combine weights
     ]
     return specs
 
@@ -338,26 +361,30 @@ def moe_decode_int4(
     interpret: bool = False,
 ) -> Array:
     """int4 variant of moe_decode: streams packed nibbles HBM->VMEM and
-    unpacks in-registers — HALF the decode HBM traffic of int8. This is what
-    fits the full 25.3B/64-expert model in one v5e and still feeds the MXU."""
+    unpacks on the MXU — HALF the decode HBM traffic of int8. This is what
+    fits the full 25.3B/64-expert model in one v5e and still feeds the MXU.
+
+    The grid iterates UNIQUE active experts (jnp.unique with a static size),
+    not routing slots: with continuous batching (T lanes x top-k slots) each
+    expert's weights are fetched AND computed once for all its tokens — the
+    per-slot design re-ran the FFN per (token, expert) pair, which made the
+    batched server's MoE cost scale with T*k instead of |active experts|."""
     from aria_tpu.ops.quant import int4_group_count
 
     T, D = x.shape
-    k = indices.shape[1]
     L, E, I2, Dp = w1q4.shape
     I = I2 // 2
     assert I % ft == 0
     nf = I // ft
     ng = int4_group_count(D)
     gs = D // ng
-    n_slots = T * k
 
-    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    meta, wd, U = _unique_meta(indices, weights, layer_idx, E)
     kernel = functools.partial(_kernel_q4, ng, gs)
     out = _call(
-        kernel, _specs_q4(ft, nf, Dp, D, n_slots), (nf, n_slots),
+        kernel, _specs_q4(ft, nf, Dp, D, U, T), (nf, U),
         jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
-        meta, wsort, x, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8,
+        meta, x, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8, wd,
     )
     return out.astype(x.dtype)
 
@@ -377,17 +404,15 @@ def moe_decode_quant(
     interpret: bool = False,
 ) -> Array:
     T, D = x.shape
-    k = indices.shape[1]
     L, E, I2, _ = w1q.shape
     I = I2 // 2
     assert I % ft == 0
     nf = I // ft
-    n_slots = T * k
 
-    meta, wsort = _pack_meta(layer_idx, indices, weights)
+    meta, wd, U = _unique_meta(indices, weights, layer_idx, E)
     out = _call(
-        _kernel_q, _specs(ft, nf, D, n_slots, quant=True), (nf, n_slots),
+        _kernel_q, _specs(ft, nf, D, U, T, quant=True), (nf, U),
         jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
-        meta, wsort, x, w1q, w1q, w2q, w1_s8, w1_s8, w2_s8,
+        meta, x, w1q, w1q, w2q, w1_s8, w1_s8, w2_s8, wd,
     )
     return out.astype(x.dtype)
