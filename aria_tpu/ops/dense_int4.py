@@ -76,15 +76,17 @@ def _kernel(ng, gs, l_ref, x_ref, w_ref, sg_ref, out_ref):
     for g in range(ng):
         xa = jax.lax.slice_in_dim(x, g * gs, g * gs + gsp, axis=1)
         xb = jax.lax.slice_in_dim(x, g * gs + gsp, (g + 1) * gs, axis=1)
-        xb16 = xb * jnp.asarray(1.0 / 16.0, x.dtype)  # exact power-of-2 scale
-        xd = jnp.concatenate([xa, xb16, -xa], axis=1)  # fused 3-part dot
+        xc = xb * jnp.asarray(1.0 / 16.0, x.dtype) - xa  # exact in bf16
         bias = 8.0 * jnp.sum(xa.astype(jnp.float32), axis=1, keepdims=True)
         pg = w_ref[0][:, g * gsp : (g + 1) * gsp]  # [tn, gsp] packed bytes
         hi16 = (pg & jnp.int8(-16)).astype(x.dtype)
-        wg = jnp.concatenate([pg.astype(x.dtype), hi16, hi16], axis=1)
+        # two dots instead of one 3-part concat dot (no [tn, 3*gsp] temp)
+        dn = (((1,), (1,)), ((), ()))
         d = (
-            jax.lax.dot_general(xd, wg, (((1,), (1,)), ((), ())),
+            jax.lax.dot_general(xa, pg.astype(x.dtype), dn,
                                 preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xc, hi16, dn,
+                                  preferred_element_type=jnp.float32)
             - bias
         )
         d = d * sg_ref[0][g : g + 1, :]  # [tm, tn] * [1, tn]
