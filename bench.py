@@ -85,6 +85,64 @@ def bench_batched(params, cfg, args):
     }))
 
 
+def bench_train(args):
+    """LoRA fine-tune throughput on one chip (reference envelope:
+    README.md:148-151, one 80GB GPU at 2k seq). Workload: the EP-8 per-chip
+    shard (5.28B bf16 base, frozen) + grouped-GEMM LoRA adapters, text-only
+    batch at 2k tokens, grad checkpointing."""
+    import time as _t
+
+    from aria_tpu.models.aria import init_aria_params
+    from aria_tpu.train.lora import LoraConfig, init_lora_params
+    from aria_tpu.train.step import (
+        TrainConfig, TrainState, lora_train_step, make_lora_optimizer,
+    )
+
+    cfg = bench_config(args.experts, args.layers)
+    B, S = args.train_batch, args.train_seq
+    params = jax.jit(
+        lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    lc = LoraConfig(rank=16)
+    lora = init_lora_params(jax.random.PRNGKey(1), cfg, lc)
+    tc = TrainConfig(gradient_checkpointing=True)
+    optimizer = make_lora_optimizer(tc)
+    state = TrainState(lora, optimizer.init(lora), jnp.int32(0))
+
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(5, cfg.text.vocab_size - 1, size=(B, S)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(tokens),
+        "labels": jnp.asarray(tokens),
+    }
+
+    step = jax.jit(
+        lambda st, b, p: lora_train_step(
+            st, b, p, cfg, lc.scale, optimizer, remat=tc.gradient_checkpointing
+        )
+    )
+    state, metrics = step(state, batch, params)  # compile
+    jax.block_until_ready(state)
+    times = []
+    for r in range(args.warmup + args.runs):
+        t0 = _t.perf_counter()
+        state, metrics = step(state, batch, params)
+        jax.block_until_ready(state)
+        dt = _t.perf_counter() - t0
+        if r >= args.warmup:
+            times.append(dt)
+        print(f"# step {r}: {dt*1e3:.0f}ms, loss={float(metrics['loss']):.3f}", flush=True)
+    tok_s = B * S / float(np.mean(times))
+    print(json.dumps({
+        "metric": f"lora_train_tok_s_1chip_ep8_shard_equiv_b{B}_s{S}",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": 0.0,  # reference publishes envelopes, not train tok/s
+    }))
+
+
 def build_int4_params(cfg, with_image: bool):
     """FULL-model serving init: int4 expert stacks streamed into place (the
     bf16 64-expert stacks are ~42GB and can never exist on a 16GB chip)."""
@@ -125,7 +183,15 @@ def main():
                     help="FULL 64-expert model, int4 expert weights (25.3B on one chip; default)")
     ap.add_argument("--shard8", action="store_true",
                     help="round-1 mode: 8-expert EP-shard-equivalent, int8 weights")
+    ap.add_argument("--train", action="store_true",
+                    help="LoRA fine-tune throughput (EP-8 shard, 2k seq)")
+    ap.add_argument("--train-batch", type=int, default=1)
+    ap.add_argument("--train-seq", type=int, default=2048)
     args = ap.parse_args()
+
+    if args.train:
+        bench_train(args)
+        return
 
     # Default workload: the WHOLE 25.3B model resident on one chip (int4
     # experts + int8 KV), mirroring the reference's single-accelerator
