@@ -43,33 +43,46 @@ from aria_tpu.ops.quant import int4_group_count
 TM = 128  # row tile: one MXU pass per (row-tile, out-tile)
 
 
-def _unpack4(p, dtype):
-    """[R, C] int8 paired nibbles -> [R, 2C] (lo block then hi block;
-    biased-lo layout, see quant.pack_int4). Arithmetic in int32: Mosaic
-    cannot legalize int8 vector shifts. Here the unpack amortizes over the
-    TM=128-token row tile, so per-element cost is negligible (unlike decode,
-    which uses the MXU-unpack identity)."""
-    b = p.astype(jnp.int32)
-    lo = ((b & 0xF) - 8).astype(dtype)
-    hi = (b >> 4).astype(dtype)
-    return jnp.concatenate([lo, hi], axis=-1)
+def _hi16(p, dtype):
+    """16x the (signed) high nibble of each packed byte (B & 0xF0 == 16*hi
+    in two's complement): one int8 mask, no shifts or widening."""
+    return (p & jnp.int8(-16)).astype(dtype)
 
 
 def _k1_glu(ng, gs, te_ref, x_ref, w1g_ref, w1u_ref, sgg_ref, sgu_ref, h_ref):
-    """h[r-tile, f-tile] = silu(x@w1g^T) * (x@w1u^T), groupwise int4 scales."""
+    """h[r-tile, f-tile] = silu(x@w1g^T) * (x@w1u^T), groupwise int4 scales.
+
+    MXU-side unpack over biased-lo bytes (quant.pack_int4), same identity as
+    the decode kernel (moe_decode_kernel._ffn_q4):
+        xa @ lo + xb @ hi = xa @ B + (xb/16 - xa) @ hi16 - 8*sum(xa)
+    — two plain dots per half; the per-byte work is ONE convert (B) plus one
+    mask+convert (hi16) instead of the 6-op widen/shift/concat unpack."""
     x = x_ref[:]  # [TM, D]
     gsp = gs // 2
     gate = None
     up = None
+    dims = (((1,), (1,)), ((), ()))
     for g in range(ng):
-        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=1)
-        wg = _unpack4(w1g_ref[0, 0][:, g * gsp : (g + 1) * gsp], x.dtype)  # [ftn, gs]
-        wu = _unpack4(w1u_ref[0, 0][:, g * gsp : (g + 1) * gsp], x.dtype)
-        dims = (((1,), (1,)), ((), ()))
-        dg = jax.lax.dot_general(xg, wg, dims, preferred_element_type=jnp.float32)
-        du = jax.lax.dot_general(xg, wu, dims, preferred_element_type=jnp.float32)
-        dg = dg * sgg_ref[0, 0][g : g + 1, :]  # [TM, ftn] * [1, ftn]
-        du = du * sgu_ref[0, 0][g : g + 1, :]
+        xa = jax.lax.slice_in_dim(x, g * gs, g * gs + gsp, axis=1)
+        xb = jax.lax.slice_in_dim(x, g * gs + gsp, (g + 1) * gs, axis=1)
+        xc = xb * jnp.asarray(1.0 / 16.0, x.dtype) - xa  # both exact in bf16
+        bias = 8.0 * jnp.sum(xa.astype(jnp.float32), axis=1, keepdims=True)
+        pg = w1g_ref[0, 0][:, g * gsp : (g + 1) * gsp]  # [ftn, gsp] bytes
+        pu = w1u_ref[0, 0][:, g * gsp : (g + 1) * gsp]
+        dg = (
+            jax.lax.dot_general(xa, pg.astype(x.dtype), dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xc, _hi16(pg, x.dtype), dims,
+                                  preferred_element_type=jnp.float32)
+            - bias
+        ) * sgg_ref[0, 0][g : g + 1, :]  # [TM, ftn] * [1, ftn]
+        du = (
+            jax.lax.dot_general(xa, pu.astype(x.dtype), dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xc, _hi16(pu, x.dtype), dims,
+                                  preferred_element_type=jnp.float32)
+            - bias
+        ) * sgu_ref[0, 0][g : g + 1, :]
         gate = dg if gate is None else gate + dg
         up = du if up is None else up + du
     h_ref[:] = ((gate * jax.lax.logistic(gate)) * up).astype(h_ref.dtype)
@@ -77,7 +90,11 @@ def _k1_glu(ng, gs, te_ref, x_ref, w1g_ref, w1u_ref, sgg_ref, sgu_ref, h_ref):
 
 def _k2_down(te_ref, h_ref, w2_ref, s2_ref, out_ref):
     """out[r-tile] = (sum_f h[:, f-tile] @ w2[f-tile]) * c, accumulated over
-    the f grid axis; finalized with the rank-1 column scale."""
+    the f grid axis; finalized with the rank-1 column scale.
+
+    w2 packs over the OUTPUT axis (col j pairs j+D/2): with o16 = h @ hi16,
+    out_hi = o16/16 and out_lo = h @ B - o16 - 8*sum(h) — both halves from
+    two plain dots on the raw bytes (see moe_decode_kernel._ffn_q4)."""
     f = pl.program_id(1)
     nf = pl.num_programs(1)
 
@@ -86,8 +103,13 @@ def _k2_down(te_ref, h_ref, w2_ref, s2_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     h = h_ref[:]  # [TM, ft]
-    w2 = _unpack4(w2_ref[0, 0], h.dtype)  # [ft, D]
-    out_ref[:] += jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    p = w2_ref[0, 0]  # [ft, Dp] packed bytes
+    o_p = jnp.dot(h, p.astype(h.dtype), preferred_element_type=jnp.float32)
+    o16 = jnp.dot(h, _hi16(p, h.dtype), preferred_element_type=jnp.float32)
+    h_bias = 8.0 * jnp.sum(h.astype(jnp.float32), axis=1, keepdims=True)
+    out_ref[:] += jnp.concatenate(
+        [o_p - o16 - h_bias, o16 * (1.0 / 16.0)], axis=-1
+    )
 
     @pl.when(f == nf - 1)
     def _():

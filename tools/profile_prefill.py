@@ -77,6 +77,13 @@ def main():
     print(f"{'ms':>10}  {'n':>5}  name")
     for name, ms in top:
         print(f"{ms:10.2f}  {count[name]:5d}  {name[:110]}")
+    per = {n: (by_name[n] / count[n]) for n in by_name}
+    interesting = [n for n in by_name if any(
+        s in n for s in ("moe_decode", "decode_attention", "dense_int4",
+                         "moe_prefill", "flash", "while", "fusion"))]
+    print("\nper-call us for kernel ops:")
+    for n in sorted(interesting, key=lambda n: -by_name[n])[:20]:
+        print(f"{per[n]*1e3:10.1f} us x {count[n]:5d}  {n[:100]}")
 
 
 if __name__ == "__main__":
