@@ -638,10 +638,16 @@ def _moe_ffn(
         if not ft:
             use_decode_kernel = False
         elif is_quantized_int4(w1_full):
+            # W4A8 by default: int8 activations ride integer MXU dots on the
+            # raw packed bytes (one int8 mask per weight byte, no converts) —
+            # at batched lane counts the bf16 variant's per-byte converts
+            # dominate the whole decode step. ARIA_TPU_A8=0 restores the
+            # bf16-activation variant (exact vs dequantized int4).
+            a8 = os.environ.get("ARIA_TPU_A8", "1") != "0"
             expert_out = moe_decode_int4(
                 flat, indices, weights,
                 w1_full["q4"], w1_full["sg"], w2_full["q4"], w2_full["s8"],
-                layer_idx, ft=ft,
+                layer_idx, ft=ft, act_int8=a8,
             )
         elif is_quantized(w1_full):
             expert_out = moe_decode_quant(

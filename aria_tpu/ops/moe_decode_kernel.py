@@ -207,6 +207,98 @@ def _ffn_q4(x, w1g_p, w1u_p, w2_p, sgg, sgu, s2, ng, gs):
     return partial * s2  # [T, D] * c/7
 
 
+def act_quant_int8(x: Array, ng: int):
+    """Per-(token, D-group) symmetric int8 activation quantization for the
+    W4A8 kernel. Returns (xq int8 [T, D], sx f32 [T, 8] — cols 0..ng-1)."""
+    T, D = x.shape
+    gs = D // ng
+    xg = x.astype(jnp.float32).reshape(T, ng, gs)
+    amax = jnp.max(jnp.abs(xg), axis=-1)  # [T, ng]
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xg / sx[..., None]), -127, 127)
+    return xq.astype(jnp.int8).reshape(T, D), jnp.pad(sx, ((0, 0), (0, 8 - ng)))
+
+
+def _ffn_q4_a8(xq, sx, w1g_p, w1u_p, w2_p, sgg, sgu, s2, ng, gs):
+    """W4A8 GLU FFN: int8 activations x int4-packed weights as INTEGER MXU
+    dots on the raw bytes — the only per-weight-byte VPU op is one int8 mask.
+
+    Biased-lo bytes (quant.pack_int4): B = 16*hi + (lo+8) exactly, so with
+    integer dots (int8 x int8 -> int32, native MXU):
+
+        xa @ lo + xb @ hi = xa@B - xa@hi16 - 8*sum(xa) + (xb@hi16 >> 4)
+
+    (hi16 = B & 0xF0 = 16*hi; xb@hi16 is a multiple of 16, the arithmetic
+    shift is exact). The bf16 variant (_ffn_q4) converts every byte twice
+    (B and hi16 -> bf16); at T lanes >= 8 those converts dominate the whole
+    decode step. Here weights stay int8 end-to-end and the int32->f32
+    convert happens on the [T, ft] dot OUTPUTS — ~24x fewer elements.
+    Activation error: int8 per-(token, D-group) symmetric, ~0.1% rms on top
+    of the int4 weight noise (tested vs the dequantized reference).
+    Returns partial [T, D] f32."""
+    gsp = gs // 2
+    dn = _CONTRACT_LAST
+    i32 = jnp.int32
+    gate = None
+    up = None
+    for g in range(ng):
+        xa = jax.lax.slice_in_dim(xq, g * gs, g * gs + gsp, axis=1)
+        xb = jax.lax.slice_in_dim(xq, g * gs + gsp, (g + 1) * gs, axis=1)
+        bias = 8 * jnp.sum(xa.astype(i32), axis=1, keepdims=True)  # [T, 1]
+        pg = w1g_p[:, g * gsp : (g + 1) * gsp]
+        pu = w1u_p[:, g * gsp : (g + 1) * gsp]
+        hg = pg & jnp.int8(-16)
+        hu = pu & jnp.int8(-16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=i32,
+        )
+        Gg = dot(xa, pg) - dot(xa, hg) - bias + (dot(xb, hg) >> 4)
+        Gu = dot(xa, pu) - dot(xa, hu) - bias + (dot(xb, hu) >> 4)
+        sxg = sx[:, g : g + 1]  # [T, 1] f32
+        dg = Gg.astype(jnp.float32) * sxg * sgg[g : g + 1, :]
+        du = Gu.astype(jnp.float32) * sxg * sgu[g : g + 1, :]
+        gate = dg if gate is None else gate + dg
+        up = du if up is None else up + du
+    h = (gate * jax.lax.logistic(gate)) * up  # [T, ft] f32
+
+    # re-quantize h per row for the down-projection's integer dots
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0, 1e-8)
+    hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+    dn2 = (((1,), (0,)), ((), ()))
+    dot2 = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn2, preferred_element_type=i32
+    )
+    o_p = dot2(hq, w2_p)  # [T, Dp]
+    o16 = dot2(hq, w2_p & jnp.int8(-16))
+    h_bias = 8 * jnp.sum(hq.astype(i32), axis=1, keepdims=True)
+    partial = jnp.concatenate(
+        [(o_p - o16 - h_bias).astype(jnp.float32),
+         (o16 >> 4).astype(jnp.float32)],
+        axis=-1,
+    )
+    return partial * sh * s2  # [T, D] * per-row * c/7
+
+
+def _kernel_q4_a8(ng, gs, meta_ref, xq_ref, sx_ref, w1g_ref, w1u_ref, w2_ref,
+                  sgg_ref, sgu_ref, s2_ref, wd_ref, out_ref):
+    f = pl.program_id(0)
+    u = pl.program_id(1)
+    U = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(f == 0, u == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(meta_ref[U + u] == 1)
+    def _():
+        partial = _ffn_q4_a8(
+            xq_ref[:], sx_ref[:], w1g_ref[0, 0], w1u_ref[0, 0], w2_ref[0, 0],
+            sgg_ref[0, 0], sgu_ref[0, 0], s2_ref[0, 0, 0:1, :], ng, gs,
+        )
+        out_ref[:] += wd_ref[0][:, 0:1] * partial
+
+
 def _kernel_q4(ng, gs, meta_ref, x_ref, w1g_ref, w1u_ref, w2_ref,
                sgg_ref, sgu_ref, s2_ref, wd_ref, out_ref):
     """Grid (nf, U): one step per (intermediate tile, UNIQUE expert). The
@@ -318,13 +410,17 @@ def moe_decode(
     return out.astype(x.dtype)
 
 
-def _specs_q4(ft, nf, Dp, D, U, T):
+def _specs_q4(ft, nf, Dp, D, U, T, a8=False):
     """Index maps for the int4 kernel, grid (f, u): meta[u] = unique expert
     id (clamped), meta[U + u] = valid flag, meta[-1] = layer."""
     L_IDX = 2 * U
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x [T, D], unblocked
+    ]
+    if a8:
+        specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sx [T, 8] f32
+    specs += [
         pl.BlockSpec((1, 1, ft, Dp), lambda f, u, m: (m[L_IDX], m[u], f, 0),
                      memory_space=pltpu.VMEM),  # w1 gate rows, packed
         pl.BlockSpec((1, 1, ft, Dp), lambda f, u, m: (m[L_IDX], m[u], nf + f, 0),
@@ -345,7 +441,7 @@ def _specs_q4(ft, nf, Dp, D, U, T):
     return specs
 
 
-@functools.partial(jax.jit, static_argnames=("ft", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ft", "interpret", "act_int8"))
 def moe_decode_int4(
     x: Array,  # [T, D]
     indices: Array,  # [T, k] int32
@@ -358,6 +454,7 @@ def moe_decode_int4(
     *,
     ft: int = 128,
     interpret: bool = False,
+    act_int8: bool = False,  # W4A8: integer MXU dots, no per-byte converts
 ) -> Array:
     """int4 variant of moe_decode: streams packed nibbles HBM->VMEM and
     unpacks on the MXU — HALF the decode HBM traffic of int8. This is what
@@ -379,12 +476,21 @@ def moe_decode_int4(
     gs = D // ng
 
     meta, wd, U = _unique_meta(indices, weights, layer_idx, E)
-    kernel = functools.partial(_kernel_q4, ng, gs)
-    out = _call(
-        kernel, _specs_q4(ft, nf, Dp, D, U, T), (nf, U),
-        jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
-        meta, x, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8, wd,
-    )
+    if act_int8:
+        xq, sx = act_quant_int8(x, ng)
+        kernel = functools.partial(_kernel_q4_a8, ng, gs)
+        out = _call(
+            kernel, _specs_q4(ft, nf, Dp, D, U, T, a8=True), (nf, U),
+            jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
+            meta, xq, sx, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8, wd,
+        )
+    else:
+        kernel = functools.partial(_kernel_q4, ng, gs)
+        out = _call(
+            kernel, _specs_q4(ft, nf, Dp, D, U, T), (nf, U),
+            jax.ShapeDtypeStruct((T, D), jnp.float32), interpret,
+            meta, x, w1q4, w1q4, w2q4, w1_sg, w1_sg, w2_s8, wd,
+        )
     return out.astype(x.dtype)
 
 

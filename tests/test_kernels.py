@@ -77,6 +77,54 @@ class TestMoEDecodeKernel:
                                   jnp.int32(l), ft=256, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
+    def test_int4_a8_variant_integer_path_exact(self, moe_setup):
+        """W4A8: feeding the dequantized-int8 activations through the XLA
+        reference must match the kernel's integer-dot pipeline — isolates the
+        biased-lo integer identity from the activation-quant noise."""
+        from aria_tpu.ops.moe_decode_kernel import act_quant_int8
+        from aria_tpu.ops.quant import int4_group_count
+
+        s = moe_setup
+        T, D = s["x"].shape
+        ng = int4_group_count(D)
+        r = route_topk(s["x"], s["gate"], s["k"])
+        w1q, w2q = quantize_expert_int4(s["w1"], s["w2"])
+        xq, sx = act_quant_int8(s["x"], ng)
+        x_dq = (
+            np.asarray(xq, np.float32).reshape(T, ng, D // ng)
+            * np.asarray(sx)[:, :ng, None]
+        ).reshape(T, D)
+        for l in range(s["L"]):
+            w1d, w2d = dequantize_expert_weights(
+                {k2: v[l] for k2, v in w1q.items()},
+                {k2: v[l] for k2, v in w2q.items()}, dtype=jnp.float32)
+            ref = experts_gather(jnp.asarray(x_dq), r.indices, r.weights, w1d, w2d)
+            got = moe_decode_int4(s["x"], r.indices, r.weights,
+                                  w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                                  jnp.int32(l), ft=256, interpret=True,
+                                  act_int8=True)
+            # the only remaining divergence is the in-kernel int8 h
+            # re-quantization before the down-projection
+            err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+            scale = np.max(np.abs(np.asarray(ref)))
+            assert err / scale < 2e-2, (err, scale)
+
+    def test_int4_a8_variant_close_to_bf16_act(self, moe_setup):
+        """End-to-end: W4A8 output must track the bf16-activation int4 kernel
+        within the int8 activation-quant noise band."""
+        s = moe_setup
+        r = route_topk(s["x"], s["gate"], s["k"])
+        w1q, w2q = quantize_expert_int4(s["w1"], s["w2"])
+        a = moe_decode_int4(s["x"], r.indices, r.weights,
+                            w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                            jnp.int32(0), ft=256, interpret=True, act_int8=False)
+        b = moe_decode_int4(s["x"], r.indices, r.weights,
+                            w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                            jnp.int32(0), ft=256, interpret=True, act_int8=True)
+        err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+        scale = np.max(np.abs(np.asarray(a)))
+        assert err / scale < 3e-2, (err, scale)
+
     def test_single_token(self, moe_setup):
         s = moe_setup
         x1 = s["x"][:1]
