@@ -83,6 +83,7 @@ class BatchedEngine:
             params = shard_tree(params, specs, mesh)
         self.params = params
 
+        self.cache_dtype = cache_dtype
         self.cache = KVCache.init(cfg.text, self.B, self.S, cache_dtype)
         if mesh is not None:
             kv_s = NamedSharding(mesh, P(None, None, "model", None, None))
@@ -143,6 +144,46 @@ class BatchedEngine:
 
         return prefill
 
+    def _make_prefill_multi(self):
+        """Batched admission: N same-bucket text prompts prefill in ONE call
+        writing N cache lanes. 32 serial per-request prefills each stream the
+        whole expert stack (~1.7 ms/layer x 28 x N device time); batched,
+        the stack streams once for all N — admission cost goes from O(N)
+        full-model sweeps to O(1)."""
+        cfg = self.cfg
+        mesh = self.mesh
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps):
+            N, S = tokens.shape
+            embeds = prepare_embeddings(params, cfg, tokens, None, None)
+            # A prefill-from-0 never READS pre-existing lane state (the causal
+            # flash block attends only within the prompt it just wrote), so
+            # the working cache is a fresh BUCKET-length one — both gathering
+            # the real lanes (jnp.take over [L, B, H, Smax, D]) and a
+            # full-Smax zero cache cost whole-cache HLO temps that OOM at 32
+            # lanes; only positions < S are written, so only they scatter back.
+            lane_cache = KVCache.init(cfg.text, N, S, self.cache_dtype)
+            kv_pos = jnp.arange(S)
+            qi = jnp.arange(S)
+            mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            out = lm_forward(
+                params["lm"], cfg.text, inputs_embeds=embeds,
+                positions=jnp.arange(S), mask=mask,
+                cache=lane_cache, cache_pos=jnp.int32(0),
+                logit_position=true_lens - 1,  # [N]: per-row positions
+                causal_flash=True, mesh=mesh,
+            )
+            # duplicate lane ids (pow2 padding repeats the last request) write
+            # identical rows, so the scatter is deterministic
+            new_cache = jax.tree.map(
+                lambda full, ln: full.at[:, lanes, :, :S].set(ln), cache, out.cache
+            )
+            toks = sample(rng, out.logits[:, 0], temps, self.top_k)
+            return toks, new_cache
+
+        return prefill_multi
+
     @functools.cached_property
     def _decode_jit(self):
         cfg = self.cfg
@@ -200,6 +241,72 @@ class BatchedEngine:
                 return i
         return None
 
+    def _admit_all(self):
+        """Admit queued requests: image requests one at a time (crop shapes
+        vary), text requests grouped by prompt bucket into ONE multi-lane
+        prefill each — an admission burst of N costs one expert-stack sweep
+        instead of N."""
+        while self.queue:
+            if self.queue[0].pixel_values is not None:
+                if not self._admit():
+                    return
+                continue
+            free = [i for i, r in enumerate(self.lane_req) if r is None]
+            if not free:
+                return
+            group: List[Request] = []
+            bucket = None
+            while self.queue and len(group) < len(free):
+                req = self.queue[0]
+                if req.pixel_values is not None:
+                    break
+                b = _bucket(len(req.prompt_tokens))
+                if b + req.max_new_tokens > self.S:
+                    self.queue.popleft()
+                    req.done = True
+                    req.error = f"request {req.uid} exceeds max_seq_len {self.S}"
+                    self._finished.append(req)
+                    continue
+                if bucket is None:
+                    bucket = b
+                elif b != bucket:
+                    break
+                self.queue.popleft()
+                group.append(req)
+            if group:
+                self._prefill_group(group, bucket, free[: len(group)])
+
+    def _prefill_group(self, group: List[Request], bucket: int, lanes: List[int]):
+        N = len(group)
+        Np = 1 << (N - 1).bit_length()  # pad to pow2: bounded compile count
+        rows = list(range(N)) + [N - 1] * (Np - N)  # repeat last request
+        tokens = np.zeros((Np, bucket), np.int32)
+        true_lens = np.zeros(Np, np.int32)
+        temps = np.zeros(Np, np.float32)
+        lanes_arr = np.zeros(Np, np.int32)
+        for row, i in enumerate(rows):
+            req = group[i]
+            tokens[row, : len(req.prompt_tokens)] = req.prompt_tokens
+            true_lens[row] = len(req.prompt_tokens)
+            temps[row] = self.temperature if req.temperature is None else req.temperature
+            lanes_arr[row] = lanes[i]
+        key = ("multi", bucket, Np)
+        if key not in self._prefill_jit:
+            self._prefill_jit[key] = self._make_prefill_multi()
+        self._rng, rng = jax.random.split(self._rng)
+        toks, self.cache = self._prefill_jit[key](
+            self.params, jnp.asarray(tokens), self.cache,
+            jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
+            jnp.asarray(temps),
+        )
+        self.lane_tok = self.lane_tok.at[jnp.asarray(lanes_arr)].set(toks)
+        for i, req in enumerate(group):
+            lane = lanes[i]
+            self._pending_first.append((lane, req, toks[i]))
+            self.lane_req[lane] = req
+            self.lane_pos[lane] = len(req.prompt_tokens)
+            self.lane_temp[lane] = float(temps[i])
+
     def _admit(self) -> bool:
         lane = self._free_lane()
         if lane is None or not self.queue:
@@ -255,8 +362,7 @@ class BatchedEngine:
     def step(self) -> List[Request]:
         """Admit queued requests, run one decode chunk, return newly finished
         requests."""
-        while self._admit():
-            pass
+        self._admit_all()
         active = self._active_mask()
         if not active.any():
             out, self._finished = self._finished, []

@@ -870,7 +870,13 @@ def lm_forward(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if logit_position is not None:
         # Only the sampled position's logits are needed (prefill): skip the
-        # [S, V] matmul for all other positions.
-        x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
+        # [S, V] matmul for all other positions. A [B]-shaped logit_position
+        # selects a (possibly different) position per batch row — the
+        # multi-request batched-admission prefill.
+        pos = jnp.asarray(logit_position)
+        if pos.ndim == 1:
+            x = jnp.take_along_axis(x, pos[:, None, None].astype(jnp.int32), axis=1)
+        else:
+            x = jax.lax.dynamic_slice_in_dim(x, logit_position, 1, axis=1)
     logits = qlinear(x, params["lm_head"], "bsd,dv->bsv")
     return LMOutput(logits, new_cache, z_loss, aux_loss)

@@ -67,6 +67,34 @@ class TestBatchedEngine:
         for uid, exp in zip(uids, expected):
             assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
 
+    def test_mixed_buckets_split_into_groups(self):
+        """Batched admission groups by prompt bucket; a burst spanning two
+        buckets must still match the single engine per request."""
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=256, cache_dtype=jnp.float32)
+        server = BatchedEngine(
+            params, TINY, max_lanes=4, max_seq_len=256,
+            temperature=0.0, decode_chunk=4, cache_dtype=jnp.float32,
+        )
+        prompts = [
+            [5, 17, 3],                      # bucket 32
+            list(range(2, 42)),              # bucket 64
+            [9, 9, 200, 41, 7],              # bucket 32
+            list(range(3, 50)),              # bucket 64
+        ]
+        n_new = 6
+        expected = [
+            single.generate(
+                p, GenerationConfig(max_new_tokens=n_new, temperature=0.0, top_k=None)
+            ).tokens
+            for p in prompts
+        ]
+        uids = [server.submit(p, max_new_tokens=n_new) for p in prompts]
+        finished = server.run_until_complete()
+        by_uid = {r.uid: r for r in finished}
+        for uid, exp in zip(uids, expected):
+            assert by_uid[uid].generated == exp, (by_uid[uid].generated, exp)
+
     def test_more_requests_than_lanes(self):
         params = make_params()
         server = BatchedEngine(
