@@ -59,7 +59,12 @@ def _unique_meta(indices: Array, weights: Array, layer_idx: Array, E: int):
         wdense = weights.reshape(U, 1).astype(jnp.float32)
         wd = jnp.broadcast_to(wdense[:, :, None], (U, T, 128))
     else:
-        ids = jnp.unique(flat_e, size=U, fill_value=E)  # sorted, padded with E
+        # compact the active-expert ids WITHOUT a sort: jnp.unique sorts all
+        # T*k routing slots (a ~300us bitonic sort that repeats per layer per
+        # step); a count-scatter over [E] + size-bounded nonzero gets the
+        # same sorted unique list from an E-length cumsum
+        cnt = jnp.zeros((E,), jnp.int32).at[flat_e].add(1)
+        ids = jnp.nonzero(cnt, size=U, fill_value=E)[0].astype(jnp.int32)
         valid = (ids < E).astype(jnp.int32)
         ids_c = jnp.minimum(ids, E - 1)
         tok_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
