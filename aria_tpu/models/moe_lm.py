@@ -287,7 +287,12 @@ def _attention(
                 tn_env = os.environ.get("ARIA_TPU_DENSE_TN")
                 cands = (int(tn_env),) if tn_env else (1536, 1280, 768, 512, 256)
                 tn = next((t for t in cands if F % t == 0), 256)
-                return dense_int4(h2d, w, layer_idx, tn=tn)
+                # W4A8 for the projections is available but OFF by default:
+                # the T=1 matvec is already DMA-bound (no measured win) and
+                # bf16 activations keep the attention path noise-free
+                a8 = (h2d.shape[0] <= 32
+                      and os.environ.get("ARIA_TPU_DENSE_A8", "0") == "1")
+                return dense_int4(h2d, w, layer_idx, tn=tn, act_int8=a8)
             wl = {k2: jax.lax.dynamic_index_in_dim(v, layer_idx, 0, keepdims=False)
                   for k2, v in w.items()}
             return h2d @ dequantize_dense_int4(wl, dtype=h2d.dtype)

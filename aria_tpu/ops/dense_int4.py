@@ -94,7 +94,31 @@ def _kernel(ng, gs, l_ref, x_ref, w_ref, sg_ref, out_ref):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "interpret"))
+def _kernel_a8(ng, gs, l_ref, xq_ref, sx_ref, w_ref, sg_ref, out_ref):
+    # W4A8: int8 activations x raw packed bytes as INTEGER MXU dots (see
+    # moe_decode_kernel._ffn_q4_a8) — one int8 mask per weight byte, no
+    # converts; int32->f32 lands on the [tm, tn] dot outputs.
+    xq = xq_ref[:]  # [tm, D] int8
+    gsp = gs // 2
+    i32 = jnp.int32
+    dn = (((1,), (1,)), ((), ()))
+    acc = None
+    for g in range(ng):
+        xa = jax.lax.slice_in_dim(xq, g * gs, g * gs + gsp, axis=1)
+        xb = jax.lax.slice_in_dim(xq, g * gs + gsp, (g + 1) * gs, axis=1)
+        bias = 8 * jnp.sum(xa.astype(i32), axis=1, keepdims=True)
+        pg = w_ref[0][:, g * gsp : (g + 1) * gsp]  # [tn, gsp] packed bytes
+        hg = pg & jnp.int8(-16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dn, preferred_element_type=i32
+        )
+        G = dot(xa, pg) - dot(xa, hg) - bias + (dot(xb, hg) >> 4)
+        d = G.astype(jnp.float32) * sx_ref[:][:, g : g + 1] * sg_ref[0][g : g + 1, :]
+        acc = d if acc is None else acc + d
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "interpret", "act_int8"))
 def dense_int4(
     x: Array,  # [T, D]
     w: dict,  # {"q4t": [L, F, D/2], "sg": [L, 8, F]}
@@ -102,6 +126,7 @@ def dense_int4(
     *,
     tn: int = 256,
     interpret: bool = False,
+    act_int8: bool = False,
 ) -> Array:
     """x @ W[layer] over the packed stack. Returns [T, F] f32."""
     T, D = x.shape
@@ -117,18 +142,37 @@ def dense_int4(
     tm_blk = min(128, tm)
     assert tm % tm_blk == 0
 
+    if act_int8:
+        from aria_tpu.ops.moe_decode_kernel import act_quant_int8
+
+        xq, sx = act_quant_int8(x, ng)
+        kernel = functools.partial(_kernel_a8, ng, gs)
+        in_specs = [
+            pl.BlockSpec((tm_blk, D), lambda r, n, l: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm_blk, 8), lambda r, n, l: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, Dp), lambda r, n, l: (l[0], n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tn), lambda r, n, l: (l[0], 0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (xq, sx, q4t, sg)
+    else:
+        kernel = functools.partial(_kernel, ng, gs)
+        in_specs = [
+            pl.BlockSpec((tm_blk, D), lambda r, n, l: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, Dp), lambda r, n, l: (l[0], n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tn), lambda r, n, l: (l[0], 0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = (x, q4t, sg)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, ng, gs),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(tm // tm_blk, F // tn),
-            in_specs=[
-                pl.BlockSpec((tm_blk, D), lambda r, n, l: (r, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn, Dp), lambda r, n, l: (l[0], n, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, tn), lambda r, n, l: (l[0], 0, n),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((tm_blk, tn), lambda r, n, l: (r, n),
                                    memory_space=pltpu.VMEM),
         ),
@@ -137,5 +181,5 @@ def dense_int4(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, q4t, sg)
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), *operands)
     return out[:T]

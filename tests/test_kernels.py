@@ -169,6 +169,40 @@ class TestMoEPrefillKernel:
                                        rtol=5e-3, atol=5e-3)
 
 
+class TestDenseInt4Kernel:
+    def _setup(self):
+        rng = np.random.RandomState(3)
+        L, D, F = 2, 256, 512
+        w = jnp.asarray(rng.randn(L, D, F).astype(np.float32)) * 0.05
+        x = jnp.asarray(rng.randn(5, D).astype(np.float32))
+        return x, w
+
+    def test_matches_dequantized_matmul(self):
+        from aria_tpu.ops.dense_int4 import (
+            dense_int4, dequantize_dense_int4, quantize_dense_int4,
+        )
+
+        x, w = self._setup()
+        wq = quantize_dense_int4(w)
+        for l in range(2):
+            wd = dequantize_dense_int4(
+                {k: v[l] for k, v in wq.items()}, dtype=jnp.float32)
+            ref = np.asarray(x) @ np.asarray(wd)
+            got = dense_int4(x, wq, jnp.int32(l), tn=256, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-3, atol=5e-3)
+
+    def test_a8_variant_tracks_bf16_act(self):
+        from aria_tpu.ops.dense_int4 import dense_int4, quantize_dense_int4
+
+        x, w = self._setup()
+        wq = quantize_dense_int4(w)
+        a = dense_int4(x, wq, jnp.int32(0), tn=256, interpret=True)
+        b = dense_int4(x, wq, jnp.int32(0), tn=256, interpret=True, act_int8=True)
+        err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+        scale = np.max(np.abs(np.asarray(a)))
+        assert err / scale < 2e-2, (err, scale)
+
+
 class TestDecodeAttentionKernel:
     def _setup(self):
         rng = np.random.RandomState(1)
