@@ -478,9 +478,12 @@ class PagedBatchedEngine:
         self.lane_state = [None] * self.B  # PREFILL | DECODE | None
         self.lane_pages: List[list] = [[] for _ in range(self.B)]
         self.lane_pos = np.zeros(self.B, np.int32)
-        self.lane_tok = np.zeros(self.B, np.int32)
+        # device-resident (see BatchedEngine): prefill completion scatters the
+        # first token in without a per-request host sync
+        self.lane_tok = jnp.zeros(self.B, jnp.int32)
         self.lane_temp = np.full(self.B, temperature, np.float32)
         self.lane_embeds: List = [None] * self.B  # device [1, bucket, D] during prefill
+        self._pending_first: List = []  # (lane, req, device scalar)
         self.lane_true_len = np.zeros(self.B, np.int32)
         self.queue: Deque[Request] = deque()
         self._uid = 0
@@ -624,14 +627,14 @@ class PagedBatchedEngine:
         o += self.C
         self.lane_pos[lane] = o
         if o >= true_len:  # prompt fully written; sampled tok is the first token
-            first = int(tok)
-            req.generated.append(first)
+            # deferred readback (see BatchedEngine._admit): scatter the device
+            # scalar into the lane-token vector; resolve in one batched read
+            # at the next chunk drain
+            self.lane_tok = self.lane_tok.at[lane].set(tok)
+            self._pending_first.append((lane, req, tok))
             self.lane_pos[lane] = true_len
-            self.lane_tok[lane] = first
             self.lane_state[lane] = self.DECODE
             self.lane_embeds[lane] = None
-            if first in req.stop_token_ids or len(req.generated) >= req.max_new_tokens:
-                self._finish(lane)
 
     def _ensure_pages(self, lane: int, upto: int) -> bool:
         """Grow the lane's table to cover logical positions < upto."""
@@ -676,20 +679,33 @@ class PagedBatchedEngine:
         if active.any():
             self._rng, rng = jax.random.split(self._rng)
             all_toks, last, self.cache, pos = self._decode_jit(
-                self.params, jnp.asarray(self.lane_tok), self.cache,
+                self.params, self.lane_tok, self.cache,
                 jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),
                 jnp.asarray(active), jnp.asarray(self.lane_temp), rng,
                 n_steps=self.decode_chunk,
             )
             toks_host = np.asarray(all_toks)
             new_pos = np.array(pos)
-            new_tok = np.array(last)
+            self.lane_tok = last
+            if self._pending_first:
+                firsts = np.asarray(
+                    jnp.stack([t for _, _, t in self._pending_first])
+                )
+                for (lane, req, _), first in zip(self._pending_first, firsts.tolist()):
+                    req.generated.append(int(first))
+                    if (
+                        first in req.stop_token_ids
+                        or len(req.generated) >= req.max_new_tokens
+                    ):
+                        self._finish(lane)
+                self._pending_first = []
             for lane in range(self.B):
                 if not active[lane]:
                     continue
                 self.lane_pos[lane] = new_pos[lane]
-                self.lane_tok[lane] = new_tok[lane]
                 req = self.lane_req[lane]
+                if req is None:
+                    continue  # finished on its first (prefill) token
                 for t in toks_host[:, lane].tolist():
                     req.generated.append(int(t))
                     if (
