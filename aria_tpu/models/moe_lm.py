@@ -410,14 +410,32 @@ def _attention(
             hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
             hv = jnp.arange(k_t.shape[1])[None, :, None]  # H/2 when packed4
             si = (cache_pos[:, None] + jnp.arange(S)[None, :])[:, None, :]
-            new_cache = KVCache(
-                cache_kv.k.at[layer_idx, bi, hv, si].set(k_t),
-                cache_kv.v.at[layer_idx, bi, hv, si].set(v_t),
-                *((
-                    cache_kv.k_scale.at[layer_idx, bi, hi, si].set(k_sc),
-                    cache_kv.v_scale.at[layer_idx, bi, hi, si].set(v_sc),
-                ) if quantized else (None, None)),
-            )
+            new_k = cache_kv.k.at[layer_idx, bi, hv, si].set(k_t)
+            new_v = cache_kv.v.at[layer_idx, bi, hv, si].set(v_t)
+            new_ks = new_vs = None
+            if quantized and S == 1:
+                # one-hot select + layer-plane dynamic_update_slice instead of
+                # a scatter: the scale scatter's layout fought the Pallas
+                # decode-attention operand layout, so XLA transposed the WHOLE
+                # [L, B, H, S] scale stack back and forth per layer per step
+                # (~450us/layer at 32 lanes — 36% of the decode step); the
+                # plane select touches 1.3MB and updates in place
+                Smax = cache_kv.k_scale.shape[3]
+                onehot = jnp.arange(Smax)[None, None, :] == cache_pos[:, None, None]
+                sl = (layer_idx, 0, 0, 0)
+                size = (1,) + cache_kv.k_scale.shape[1:]
+
+                def plane_set(stack, sc):  # sc [B, H, 1]
+                    plane = jax.lax.dynamic_slice(stack, sl, size)[0]
+                    new = jnp.where(onehot, sc.astype(stack.dtype), plane)
+                    return jax.lax.dynamic_update_slice(stack, new[None], sl)
+
+                new_ks = plane_set(cache_kv.k_scale, k_sc)
+                new_vs = plane_set(cache_kv.v_scale, v_sc)
+            elif quantized:
+                new_ks = cache_kv.k_scale.at[layer_idx, bi, hi, si].set(k_sc)
+                new_vs = cache_kv.v_scale.at[layer_idx, bi, hi, si].set(v_sc)
+            new_cache = KVCache(new_k, new_v, new_ks, new_vs)
             lengths = cache_pos + S
     else:
         new_cache = None
