@@ -49,7 +49,7 @@ def bench_batched(params, cfg, args):
     n = args.lanes
     srv = BatchedEngine(
         params, cfg, max_lanes=n, max_seq_len=512,
-        temperature=0.8, top_k=200, decode_chunk=25,
+        temperature=0.8, top_k=200, decode_chunk=50,
         cache_dtype="int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16),
     )
     rng = np.random.RandomState(0)
