@@ -609,10 +609,15 @@ class PagedBatchedEngine:
         return True
 
     def _prefill_tick(self):
-        """Advance ONE mid-prefill lane by one chunk."""
-        lane = next((i for i, s in enumerate(self.lane_state) if s == self.PREFILL), None)
-        if lane is None:
-            return
+        """Advance EVERY mid-prefill lane by one chunk: a burst of short
+        prompts finishes admission in one tick (one chunk per lane fully
+        interleaves long prompts with decode, but advancing only one LANE
+        per tick left early decode chunks running nearly empty — 225 decode
+        steps for 400 useful tokens in the 8-lane profile)."""
+        for lane in [i for i, s in enumerate(self.lane_state) if s == self.PREFILL]:
+            self._prefill_lane_chunk(lane)
+
+    def _prefill_lane_chunk(self, lane: int):
         req = self.lane_req[lane]
         o = int(self.lane_pos[lane])
         true_len = int(self.lane_true_len[lane])

@@ -47,11 +47,21 @@ def bench_batched(params, cfg, args):
     from aria_tpu.engine.server import BatchedEngine
 
     n = args.lanes
-    srv = BatchedEngine(
-        params, cfg, max_lanes=n, max_seq_len=512,
-        temperature=0.8, top_k=200, decode_chunk=50,
-        cache_dtype="int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16),
-    )
+    cache_dtype = "int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16)
+    if args.paged:
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        srv = PagedBatchedEngine(
+            params, cfg, max_lanes=n, max_seq_len=512, page_size=256,
+            temperature=0.8, top_k=200, decode_chunk=50,
+            cache_dtype=cache_dtype,
+        )
+    else:
+        srv = BatchedEngine(
+            params, cfg, max_lanes=n, max_seq_len=512,
+            temperature=0.8, top_k=200, decode_chunk=50,
+            cache_dtype=cache_dtype,
+        )
     rng = np.random.RandomState(0)
 
     def submit_all():
@@ -77,6 +87,8 @@ def bench_batched(params, cfg, args):
         suffix += "_kv8"
     if args.kv_int4:
         suffix += "_kv4"
+    if args.paged:
+        suffix += "_paged"
     print(json.dumps({
         "metric": f"decode_tok_s_1chip_{n}lanes{suffix}",
         "value": round(tok_s, 2),
@@ -183,6 +195,8 @@ def main():
                     help="FULL 64-expert model, int4 expert weights (25.3B on one chip; default)")
     ap.add_argument("--shard8", action="store_true",
                     help="round-1 mode: 8-expert EP-shard-equivalent, int8 weights")
+    ap.add_argument("--paged", action="store_true",
+                    help="lanes mode uses the paged-KV server (PagedBatchedEngine)")
     ap.add_argument("--train", action="store_true",
                     help="LoRA fine-tune throughput (EP-8 shard, 2k seq)")
     ap.add_argument("--train-batch", type=int, default=1)

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--trace-dir", default="/tmp/lanes_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--paged", action="store_true")
     args = ap.parse_args()
 
     cfg = bench.bench_config(64, 28)
@@ -31,10 +32,18 @@ def main():
     jax.block_until_ready(params)
     print("# params ready", flush=True)
 
-    srv = BatchedEngine(
-        params, cfg, max_lanes=args.lanes, max_seq_len=512,
-        temperature=0.8, top_k=200, decode_chunk=25, cache_dtype=jnp.int8,
-    )
+    if args.paged:
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        srv = PagedBatchedEngine(
+            params, cfg, max_lanes=args.lanes, max_seq_len=512, page_size=256,
+            temperature=0.8, top_k=200, decode_chunk=25, cache_dtype=jnp.int8,
+        )
+    else:
+        srv = BatchedEngine(
+            params, cfg, max_lanes=args.lanes, max_seq_len=512,
+            temperature=0.8, top_k=200, decode_chunk=25, cache_dtype=jnp.int8,
+        )
     rng = np.random.RandomState(0)
 
     def submit_all():
