@@ -366,6 +366,7 @@ def _attention(
         packed4 = cache_kv.packed4
         k_t = k.transpose(0, 2, 1, 3)  # [B, H, S, D]
         v_t = v.transpose(0, 2, 1, 3)
+        k_fresh, v_fresh = k_t, v_t  # pre-quantization, for the merge path
         if quantized:
             qmax = 7.0 if packed4 else 127.0
             # int4 path quantizes in bf16 (values <= 7 are exact; the f32
@@ -475,10 +476,29 @@ def _attention(
           and cfg.num_kv_heads == cfg.num_heads):  # kernel is MHA-only; GQA -> sdpa
         from aria_tpu.ops.decode_attention import decode_attention
 
-        out = decode_attention(
-            q[:, 0], new_cache.k, new_cache.v, layer_idx, lengths,
-            k_scale=new_cache.k_scale, v_scale=new_cache.v_scale,
-        )[:, None]  # [B, 1, H, D]
+        # Attend over the OLD cache (lengths - 1) and merge the fresh
+        # token's term analytically (online-softmax, exact): the fresh K/V
+        # skip their own quantize->dequantize round trip — the current
+        # token's contribution is computed at full precision — and the
+        # cache write has no in-step consumer (perf-neutral on current XLA,
+        # which already scattered in place, but removes the dependency).
+        acc, m_run, s_run = decode_attention(
+            q[:, 0], cache_kv.k, cache_kv.v, layer_idx, lengths - 1,
+            k_scale=cache_kv.k_scale, v_scale=cache_kv.v_scale,
+            return_stats=True,
+        )
+        scale = cfg.head_dim ** -0.5
+        q1 = q[:, 0].astype(jnp.float32)  # [B, H, D]
+        k1 = k_fresh[:, :, 0].astype(jnp.float32)
+        v1 = v_fresh[:, :, 0].astype(jnp.float32)
+        score = jnp.sum(q1 * k1, axis=-1) * scale  # [B, H]
+        m2 = jnp.maximum(m_run, score)
+        corr = jnp.exp(m_run - m2)  # 0 when nothing attended (m = -inf)
+        p_new = jnp.exp(score - m2)
+        out = (acc * corr[..., None] + p_new[..., None] * v1) / (
+            s_run * corr + p_new
+        )[..., None]
+        out = out.astype(q.dtype)[:, None]  # [B, 1, H, D]
     elif cache_kv is not None:
         def _plane(arr):
             return jax.lax.dynamic_index_in_dim(arr, layer_idx, 0, keepdims=False)

@@ -24,7 +24,7 @@ NEG_INF = -1e30
 
 
 def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
-                  b, s, n_s, k_sc=None, v_sc=None):
+                  b, s, n_s, k_sc=None, v_sc=None, stats_refs=None):
     q = q_ref[0]  # [H, D] (pre-scaled)
     H, BS, D = k_blk.shape
 
@@ -63,68 +63,64 @@ def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
 
     @pl.when(s == n_s - 1)
     def _():
-        out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+        if stats_refs is None:
+            out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+        else:
+            # stats mode (attend-over-OLD-cache): return the UNNORMALIZED
+            # accumulator plus (m, s) so the caller can online-softmax-merge
+            # the fresh token's term. Fully-masked lanes leave finite garbage
+            # in acc/s (NEG_INF is a finite sentinel) — the merge's
+            # corr = exp(m - m2) = 0 eliminates it, with no 0/0 or NaN.
+            m_out, s_out = stats_refs
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+            m_out[0] = m_ref[:]
+            s_out[0] = s_ref[:]
 
 
-def _kernel(l_ref, len_ref, q_ref, k_ref, v_ref, out_ref, m_ref, s_ref, acc_ref):
-    b = pl.program_id(0)
-    s = pl.program_id(1)
-    n_s = pl.num_programs(1)
+def _make_kernel(quant: bool, packed: bool, stats: bool):
+    """One builder for bf16/int8/int4 caches, with or without stats outputs.
 
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        s_ref[:] = jnp.zeros_like(s_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    int4 (packed): head-pair-packed cache, unpack [H/2, bs, D] int8 ->
+    [H, bs, D] (int32 shifts — Mosaic cannot shift int8 vectors)."""
 
-    _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
-                  m_ref, s_ref, acc_ref, b, s, n_s)
+    def kernel(l_ref, len_ref, q_ref, k_ref, v_ref, *rest):
+        if quant:
+            ks_ref, vs_ref, *rest = rest
+            k_sc, v_sc = ks_ref[0, 0], vs_ref[0, 0]
+        else:
+            k_sc = v_sc = None
+        if stats:
+            out_ref, m_out, s_out, m_ref, s_ref, acc_ref = rest
+            stats_refs = (m_out, s_out)
+        else:
+            out_ref, m_ref, s_ref, acc_ref = rest
+            stats_refs = None
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        n_s = pl.num_programs(1)
 
+        @pl.when(s == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            s_ref[:] = jnp.zeros_like(s_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-def _kernel_qcache(l_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   out_ref, m_ref, s_ref, acc_ref):
-    b = pl.program_id(0)
-    s = pl.program_id(1)
-    n_s = pl.num_programs(1)
+        def unpack(p):
+            b32 = p.astype(jnp.int32)
+            lo = ((b32 << 28) >> 28).astype(jnp.bfloat16)
+            hi = ((b32 << 24) >> 28).astype(jnp.bfloat16)
+            return jnp.concatenate([lo, hi], axis=0)
 
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        s_ref[:] = jnp.zeros_like(s_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        k_blk = unpack(k_ref[0, 0]) if packed else k_ref[0, 0]
+        v_blk = unpack(v_ref[0, 0]) if packed else v_ref[0, 0]
+        _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref,
+                      m_ref, s_ref, acc_ref, b, s, n_s,
+                      k_sc=k_sc, v_sc=v_sc, stats_refs=stats_refs)
 
-    _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
-                  m_ref, s_ref, acc_ref, b, s, n_s,
-                  k_sc=ks_ref[0, 0], v_sc=vs_ref[0, 0])
-
-
-def _kernel_q4cache(l_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                    out_ref, m_ref, s_ref, acc_ref):
-    """int4 head-pair-packed cache: unpack [H/2, bs, D] int8 -> [H, bs, D]
-    (int32 shifts — Mosaic cannot shift int8 vectors), then the shared
-    online-softmax body with per-(head, position) scales."""
-    b = pl.program_id(0)
-    s = pl.program_id(1)
-    n_s = pl.num_programs(1)
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        s_ref[:] = jnp.zeros_like(s_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    def unpack(p):
-        b32 = p.astype(jnp.int32)
-        lo = ((b32 << 28) >> 28).astype(jnp.bfloat16)
-        hi = ((b32 << 24) >> 28).astype(jnp.bfloat16)
-        return jnp.concatenate([lo, hi], axis=0)
-
-    _attend_block(len_ref, q_ref, unpack(k_ref[0, 0]), unpack(v_ref[0, 0]),
-                  out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
-                  k_sc=ks_ref[0, 0], v_sc=vs_ref[0, 0])
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret", "return_stats"))
 def decode_attention(
     q: Array,  # [B, H, D] current token's queries (unscaled)
     k_cache: Array,  # [L, B, H, S, D] (bf16 or int8)
@@ -136,8 +132,13 @@ def decode_attention(
     *,
     block_s: int = 256,
     interpret: bool = False,
+    return_stats: bool = False,
 ) -> Array:
-    """Returns [B, H, D] attention outputs.
+    """Returns [B, H, D] attention outputs. With ``return_stats``, returns
+    (acc [B, H, D] f32 UNNORMALIZED, m [B, H] f32 running max, s [B, H] f32
+    softmax denominator) so the caller can online-softmax-merge extra terms
+    (e.g. the fresh token's K/V, letting the cache write stay in-place with
+    no in-step consumer).
 
     MHA only: the kernel sizes its KV BlockSpecs with H from q, so GQA
     (num_kv_heads < num_heads) configs must use the sdpa fallback — asserted
@@ -174,17 +175,32 @@ def decode_attention(
         kv_spec, kv_spec,
     ]
     arrays = [q, k_cache, v_cache]
-    kernel = _kernel
     if quantized:
         in_specs += [sc_spec, sc_spec]
         arrays += [k_scale, v_scale]
-        kernel = _kernel_q4cache if packed4 else _kernel_qcache
+    kernel = _make_kernel(quantized, packed4, return_stats)
+
+    out_spec = pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, H, 128), lambda b, s, l, ln: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = (out_spec, stat_spec, stat_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((B, H, D), jnp.float32),  # unnormalized acc
+            jax.ShapeDtypeStruct((B, H, 128), jnp.float32),  # m (col 0)
+            jax.ShapeDtypeStruct((B, H, 128), jnp.float32),  # s (col 0)
+        )
+    else:
+        out_specs = out_spec
+        out_shape = jax.ShapeDtypeStruct(
+            (B, H, D), jnp.bfloat16 if quantized else q.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, D), lambda b, s, l, ln: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((H, 128), jnp.float32),  # running max (col 0 used)
             pltpu.VMEM((H, 128), jnp.float32),  # running denom
@@ -195,8 +211,11 @@ def decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.bfloat16 if quantized else q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(jnp.atleast_1d(layer_idx).astype(jnp.int32), lengths.astype(jnp.int32),
       *arrays)
+    if return_stats:
+        acc, m, s = out
+        return acc, m[:, :, 0], s[:, :, 0]
     return out

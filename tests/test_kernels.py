@@ -221,6 +221,56 @@ class TestDecodeAttentionKernel:
             ref = sdpa(q[:, None], k[l].transpose(0, 2, 1, 3), v[l].transpose(0, 2, 1, 3), mask)[:, 0]
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
+    def test_stats_merge_equals_full(self):
+        """Attending over lengths-1 positions with return_stats and merging
+        the last position's K/V analytically must equal attending over all
+        `lengths` positions — the split the decode path uses so the cache
+        write has no in-step consumer."""
+        k, v, q, lengths, S = self._setup()
+        B, H, D = q.shape
+        l = 0
+        full = decode_attention(q, k, v, jnp.int32(l), lengths,
+                                interpret=True, block_s=128)
+        acc, m, s = decode_attention(q, k, v, jnp.int32(l), lengths - 1,
+                                     interpret=True, block_s=128,
+                                     return_stats=True)
+        # "fresh" K/V = the cache entries at position lengths-1
+        bi = np.arange(B)
+        last = np.asarray(lengths) - 1
+        k1 = np.asarray(k)[l][bi, :, last]  # [B, H, D]
+        v1 = np.asarray(v)[l][bi, :, last]
+        score = np.sum(np.asarray(q, np.float32) * k1, axis=-1) / np.sqrt(D)
+        m2 = np.maximum(np.asarray(m), score)
+        corr = np.exp(np.asarray(m) - m2)
+        p_new = np.exp(score - m2)
+        merged = (np.asarray(acc) * corr[..., None] + p_new[..., None] * v1) / (
+            np.asarray(s) * corr + p_new
+        )[..., None]
+        np.testing.assert_allclose(merged, np.asarray(full), rtol=2e-4, atol=2e-4)
+
+    def test_stats_merge_empty_cache_gives_self_attention(self):
+        """lengths=0 (nothing attended yet): the finite NEG_INF sentinel
+        leaves garbage in acc/s, but corr = exp(m - m2) = 0 kills it in the
+        merge — the result must be exactly the fresh token's value."""
+        k, v, q, lengths, S = self._setup()
+        B, H, D = q.shape
+        acc, m, s = decode_attention(q, k, v, jnp.int32(0),
+                                     jnp.zeros_like(lengths),
+                                     interpret=True, block_s=128,
+                                     return_stats=True)
+        rng = np.random.RandomState(7)
+        k1 = rng.randn(B, H, D).astype(np.float32)
+        v1 = rng.randn(B, H, D).astype(np.float32)
+        score = np.sum(np.asarray(q, np.float32) * k1, axis=-1) / np.sqrt(D)
+        m2 = np.maximum(np.asarray(m), score)
+        corr = np.exp(np.asarray(m) - m2)
+        p_new = np.exp(score - m2)
+        merged = (np.asarray(acc) * corr[..., None] + p_new[..., None] * v1) / (
+            np.asarray(s) * corr + p_new
+        )[..., None]
+        assert np.all(np.isfinite(merged))
+        np.testing.assert_allclose(merged, v1, rtol=1e-5, atol=1e-5)
+
     def test_int8_cache_variant(self):
         k, v, q, lengths, S = self._setup()
         kn, vn = np.asarray(k), np.asarray(v)
