@@ -299,7 +299,11 @@ class BatchedEngine:
             jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
             jnp.asarray(temps),
         )
-        self.lane_tok = self.lane_tok.at[jnp.asarray(lanes_arr)].set(toks)
+        # Scatter only the N real rows: pad rows repeat lane N-1's id but draw
+        # independent gumbel noise, so a duplicate-index scatter would leave a
+        # nondeterministic winner in that lane (device token could diverge from
+        # the one recorded in req.generated at temperature>0).
+        self.lane_tok = self.lane_tok.at[jnp.asarray(lanes_arr[:N])].set(toks[:N])
         for i, req in enumerate(group):
             lane = lanes[i]
             self._pending_first.append((lane, req, toks[i]))

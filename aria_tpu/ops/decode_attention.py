@@ -23,8 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attend_block(len_ref, q_ref, k_blk, v_blk, m_ref, s_ref, acc_ref,
-                  b, s, k_sc=None, v_sc=None):
+def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
+                  b, s, n_s, k_sc=None, v_sc=None, stats_refs=None):
     q = q_ref[0]  # [H, D] (pre-scaled)
     H, BS, D = k_blk.shape
 
@@ -60,6 +60,21 @@ def _attend_block(len_ref, q_ref, k_blk, v_blk, m_ref, s_ref, acc_ref,
     acc_ref[:] = acc_ref[:] * corr + pv
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        if stats_refs is None:
+            out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+        else:
+            # stats mode (attend-over-OLD-cache): return the UNNORMALIZED
+            # accumulator plus (m, s) so the caller can online-softmax-merge
+            # the fresh token's term. Fully-masked lanes leave finite garbage
+            # in acc/s (NEG_INF is a finite sentinel) — the merge's
+            # corr = exp(m - m2) = 0 eliminates it, with no 0/0 or NaN.
+            m_out, s_out = stats_refs
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+            m_out[0] = m_ref[:]
+            s_out[0] = s_ref[:]
 
 
 def _make_kernel(quant: bool, packed: bool, stats: bool):

@@ -289,3 +289,84 @@ class TestDecodeAttentionKernel:
         np.testing.assert_allclose(
             np.asarray(out.astype(jnp.float32)), np.asarray(ref), rtol=2e-2, atol=5e-3
         )
+
+
+class TestPagedDecodeAttentionKernel:
+    """Interpret-mode coverage for the paged Pallas kernel itself.
+
+    The paged-engine tests run on CPU where use_pallas() is False, so they
+    exercise only the gather_lane_kv fallback — without these tests a drift
+    in the shared _attend_block helper (as happened at round-2 HEAD) is
+    invisible to the suite."""
+
+    def _setup(self, dtype):
+        from aria_tpu.config import TextConfig
+        from aria_tpu.engine.paged import PagedKVCache, paged_write
+
+        rng = np.random.RandomState(3)
+        L, B, H, D, PS, NP, MAXP = 2, 2, 4, 64, 128, 7, 3
+        cfg = TextConfig(
+            vocab_size=64, hidden_size=H * D, num_layers=L, num_heads=H,
+            num_kv_heads=H, head_dim=D,
+        )
+        cache = PagedKVCache.init(cfg, NP, PS, dtype=dtype)
+        # lane 0 owns pages [1,2,3], lane 1 pages [4,5] (3rd entry = null page 0)
+        table = jnp.asarray([[1, 2, 3], [4, 5, 0]], jnp.int32)
+        lengths = jnp.asarray([300, 200], jnp.int32)  # spill across pages
+        S = int(lengths.max())
+        k_new = rng.randn(B, H, S, D).astype(np.float32)
+        v_new = rng.randn(B, H, S, D).astype(np.float32)
+        if dtype == jnp.int8:
+            ks = np.abs(k_new).max(-1) / 127.0
+            vs = np.abs(v_new).max(-1) / 127.0
+            k_w = jnp.asarray(np.round(k_new / ks[..., None]).astype(np.int8))
+            v_w = jnp.asarray(np.round(v_new / vs[..., None]).astype(np.int8))
+            sc = (jnp.asarray(ks), jnp.asarray(vs))
+        else:
+            k_w, v_w = jnp.asarray(k_new, dtype), jnp.asarray(v_new, dtype)
+            sc = (None, None)
+        for l in range(L):
+            if dtype == jnp.int8:
+                # distinguish layers via the scales so a layer-index bug shows
+                cache = paged_write(cache, jnp.int32(l), table,
+                                    jnp.zeros(B, jnp.int32), k_w, v_w,
+                                    sc[0] * (l + 1), sc[1] * (l + 1))
+            else:
+                cache = paged_write(cache, jnp.int32(l), table,
+                                    jnp.zeros(B, jnp.int32),
+                                    k_w * (l + 1), v_w * (l + 1))
+        q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+        return cache, table, lengths, q
+
+    def _reference(self, cache, table, lengths, q, layer):
+        from aria_tpu.engine.paged import gather_lane_kv
+
+        k, v = gather_lane_kv(cache, jnp.int32(layer), table)  # [B,H,MAXP*PS,D]
+        Stot = k.shape[2]
+        mask = (jnp.arange(Stot)[None, :] < lengths[:, None])[:, None, None, :]
+        return sdpa(q[:, None].astype(jnp.float32),
+                    k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                    v.transpose(0, 2, 1, 3).astype(jnp.float32), mask)[:, 0]
+
+    def test_bf16_matches_gather_sdpa(self):
+        from aria_tpu.engine.paged import paged_decode_attention
+
+        cache, table, lengths, q = self._setup(jnp.float32)
+        for l in range(2):
+            out = paged_decode_attention(q, cache, jnp.int32(l), table, lengths,
+                                         interpret=True)
+            ref = self._reference(cache, table, lengths, q, l)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_int8_matches_gather_sdpa(self):
+        from aria_tpu.engine.paged import paged_decode_attention
+
+        cache, table, lengths, q = self._setup(jnp.int8)
+        for l in range(2):
+            out = paged_decode_attention(q.astype(jnp.bfloat16), cache,
+                                         jnp.int32(l), table, lengths,
+                                         interpret=True)
+            ref = self._reference(cache, table, lengths, q, l)
+            np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
+                                       np.asarray(ref), rtol=2e-2, atol=5e-3)
