@@ -151,8 +151,9 @@ def init_lm_params_serving_int4(
     The bf16 64-expert stacks are ~42GB — they can never be materialized on a
     16GB chip — so experts are generated and quantized in [expert_chunk]-sized
     slabs written into preallocated packed buffers (in-place via donation).
-    This is the synthetic-weights analogue of a quantize-on-load checkpoint
-    import (checkpoint/io.py streams real safetensors the same way).
+    This is the synthetic-weights analogue of
+    checkpoint/io.py::import_hf_lm_serving_int4, which streams real
+    safetensors shard-slices through the same fill-chunk discipline.
     """
     from aria_tpu.ops.quant import quantize_expert_int4, quantize_weight
 

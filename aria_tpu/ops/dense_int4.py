@@ -39,7 +39,7 @@ def quantize_dense_int4(w: Array) -> dict:
     gs = D // ng
     wf = wt.astype(jnp.float32).reshape(*lead, F, ng, gs)
     amax = jnp.max(jnp.abs(wf), axis=-1)  # [L, F, ng]
-    sg = jnp.maximum(amax / 7.0, 1e-8)
+    sg = jnp.maximum(amax * (1.0 / 7.0), 1e-8)  # mul form: jit/eager bit-identical
     q = jnp.clip(jnp.round(wf / sg[..., None]), -8, 7).astype(jnp.int8)
     q = q.reshape(*lead, F, D)
     sg = jnp.swapaxes(sg, -1, -2)  # [L, ng, F]

@@ -34,7 +34,10 @@ def quantize_weight(w: Array, input_axis: int = -2) -> QuantWeight:
     """Symmetric per-output-channel int8: amax over the *input* axis."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=input_axis, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
+    # explicit reciprocal multiply: XLA rewrites div-by-constant to
+    # mul-by-reciprocal under jit, so the div form gives 1-ulp-different
+    # scales eager vs jitted — this form is bit-identical in both
+    scale = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "s": jnp.squeeze(scale, input_axis).astype(jnp.float32)}
 
@@ -269,7 +272,7 @@ def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
 
     w1f = w1.astype(jnp.float32).reshape(*lead, R, ng, gs)
     amax1 = jnp.max(jnp.abs(w1f), axis=-1)  # [..., R, ng]
-    sg = jnp.maximum(amax1 / 7.0, 1e-8)
+    sg = jnp.maximum(amax1 * (1.0 / 7.0), 1e-8)  # mul form: jit/eager bit-identical
     q1 = jnp.clip(jnp.round(w1f / sg[..., None]), -8, 7).astype(jnp.int8)
     q1 = q1.reshape(*lead, R, D)
 
@@ -278,7 +281,7 @@ def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
     a2 = jnp.abs(w2f)
     r = jnp.maximum(jnp.max(a2, axis=-1), 1e-8)  # [..., I]
     c = jnp.maximum(jnp.max(a2 / r[..., None], axis=-2), 1e-8)  # [..., D]
-    s2_elem = r[..., :, None] * c[..., None, :] / 7.0
+    s2_elem = r[..., :, None] * c[..., None, :] * (1.0 / 7.0)
     q2 = jnp.clip(jnp.round(w2f / s2_elem), -8, 7).astype(jnp.int8)
 
     # fold r into the up-half group scales: dequant(w1_up) = up * r per row
@@ -292,7 +295,7 @@ def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
     # bf16 scales: ~0.4% scale error on top of the 4-bit weight noise, half
     # the scale-buffer HBM (the full model needs every 100MB)
     w1_dict = {"q4": pack_int4(q1, gs), "sg": _pad8(sg).astype(jnp.bfloat16)}
-    c8 = jnp.broadcast_to((c / 7.0)[..., None, :], c.shape[:-1] + (8, D))
+    c8 = jnp.broadcast_to((c * (1.0 / 7.0))[..., None, :], c.shape[:-1] + (8, D))
     w2_dict = {"q4": pack_int4(q2, D), "s8": jnp.array(c8, jnp.bfloat16)}
     return w1_dict, w2_dict
 
