@@ -112,4 +112,8 @@ def _coerce(value: str, current):
         return int(value)
     if isinstance(current, float):
         return float(value)
+    if isinstance(current, (dict, list, tuple)):
+        import json
+
+        return json.loads(value)  # e.g. --dataset_mixer '{"path": 1.0}'
     return value

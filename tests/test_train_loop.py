@@ -97,3 +97,43 @@ class TestRecipe:
     def test_unknown_override_raises(self):
         with pytest.raises(KeyError):
             load_recipe(None, {"not_a_key": "1"})
+
+
+class TestExampleRecipes:
+    """Per-task example configs (examples/*/config_{lora,full}.yaml) carry the
+    reference's task hyperparameters and must load cleanly + run e2e."""
+
+    CONFIGS = [
+        f"examples/{task}/config_{kind}.yaml"
+        for task in ("refcoco", "nlvr2", "nextqa", "code_sft")
+        for kind in ("lora", "full")
+    ]
+
+    def test_all_configs_load_without_unknown_keys(self):
+        import warnings
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for rel in self.CONFIGS:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # unknown keys warn -> fail
+                r = load_recipe(os.path.join(repo, rel))
+            assert r.dataset_mixer, rel
+            assert ("lora" in rel) == r.use_peft, rel
+
+    def test_refcoco_lora_config_trains_on_toy_jsonl(self, tmp_path):
+        from aria_tpu.cli.train import main as train_main
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ds = make_dataset(tmp_path)
+        train_main([
+            "--config", os.path.join(repo, "examples/refcoco/config_lora.yaml"),
+            "--tiny", "--max-steps", "2",
+            "--dataset_mixer", json.dumps({ds: 1.0}),
+            "--output_dir", str(tmp_path / "out"),
+            "--per_device_train_batch_size", "2",
+            "--gradient_accumulation_steps", "1",
+            "--max_seq_length", "64",
+            "--dtype", "float32",
+        ])
+        lines = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
+        assert len(lines) == 2 and all(np.isfinite(l["loss"]) for l in lines)
