@@ -31,7 +31,17 @@ def main(argv=None):
     ap.add_argument("--config", default=None, help="recipe YAML path")
     ap.add_argument("--tiny", action="store_true", help="use the tiny test model config")
     ap.add_argument("--max-steps", type=int, default=None)
+    # multi-host (reference multi-node envelope: accelerate_configs/zero2.yaml
+    # machine_rank/num_machines); also settable via ARIA_TPU_COORDINATOR etc.
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (enables jax.distributed)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args, rest = ap.parse_known_args(argv)
+
+    from aria_tpu.parallel.distributed import initialize
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
 
     from aria_tpu.config import AriaConfig
     from aria_tpu.train.loop import train

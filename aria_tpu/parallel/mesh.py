@@ -140,13 +140,24 @@ def aria_param_specs() -> dict:
 
 
 def shard_tree(tree, specs, mesh: Mesh):
-    """Apply NamedShardings from a spec tree to a param tree."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        tree,
-        specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    """Apply NamedShardings from a spec tree to a param tree.
+
+    Under a multi-process runtime (jax.distributed) device_put cannot target
+    non-addressable devices, so each leaf is assembled from a host callback:
+    every process holds the full host value (the loop init/restore paths
+    guarantee this) and contributes its addressable shards' slices.
+    """
+    if jax.process_count() > 1:
+        def put(x, s):
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(
+                xh.shape, NamedSharding(mesh, s), lambda idx: xh[idx]
+            )
+    else:
+        def put(x, s):
+            return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, tree, specs, is_leaf=lambda x: isinstance(x, P))
 
 
 def batch_spec() -> P:

@@ -30,6 +30,11 @@ from aria_tpu.data.datasets import iter_batches, mix_datasets
 from aria_tpu.data.tokenizer import ByteTokenizer, load_tokenizer
 from aria_tpu.data.vision_processor import AriaVisionProcessor
 from aria_tpu.models.aria import init_aria_params
+from aria_tpu.parallel.distributed import (
+    is_main_process,
+    local_batch_rows,
+    shard_host_batch,
+)
 from aria_tpu.parallel.mesh import MeshConfig, aria_param_specs, make_mesh, shard_tree
 from aria_tpu.train.lora import LoraConfig, init_lora_params
 from aria_tpu.train.recipe import Recipe
@@ -126,7 +131,9 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
     params = build_params(r, cfg, dtype)
     params = shard_tree(params, aria_param_specs(), mesh)
 
-    logger = MetricsLogger(r.output_dir, enabled=r.report_to != "none")
+    logger = MetricsLogger(
+        r.output_dir, enabled=r.report_to != "none" and is_main_process()
+    )
     timer = StepTimer()
     tokens_per_batch = r.per_device_train_batch_size * r.max_seq_length
 
@@ -162,7 +169,16 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
         last = latest_step(ckpt_dir)
         if last is not None:
             restored, _ = load_checkpoint(ckpt_dir, last, target=jax.tree.map(np.asarray, state))
-            state = jax.tree.map(jnp.asarray, restored)
+            if jax.process_count() > 1:
+                # every process restored the same full value -> replicate
+                # globally (pure-DP multi-host; sharded-state multi-host
+                # resume would need orbax multihost checkpointing)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+                state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
+            else:
+                state = jax.tree.map(jnp.asarray, restored)
             start_step = last
             print(f"resumed from step {last}")
 
@@ -183,13 +199,14 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
                     done = True
                     break
                 batch = collate_fn(
-                    batch_rows, tokenizer, image_processor,
+                    local_batch_rows(batch_rows, r.per_device_train_batch_size),
+                    tokenizer, image_processor,
                     max_length=r.max_seq_length, max_image_size=r.max_image_size,
                     split_image=r.split_image,
                 )
                 batch = _pad_batch(batch, r.max_seq_length, tokenizer.pad_token_id)
                 batch.pop("attention_mask", None)  # causal mask + -100 labels suffice
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = shard_host_batch(batch, mesh)
                 state, metrics = step_fn(state, batch)
                 step += 1
                 if step % r.logging_steps == 0:
@@ -197,6 +214,8 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
                     metrics.update(timer.lap(tokens_per_batch))
                     logger.log(step, metrics)
                 if r.save_every_steps and step % r.save_every_steps == 0:
+                    # all processes participate: orbax saves are collective
+                    # (barrier-synced) under a multi-process runtime
                     save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), cfg, step=step)
             save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), cfg, step=step)
     logger.close()
