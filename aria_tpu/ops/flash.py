@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from aria_tpu.ops.attention import sdpa
-from aria_tpu.ops.backend import use_pallas
+from aria_tpu.ops.backend import kernel_interpret, use_pallas
 
 
 def _round_up(x: int, m: int) -> int:
@@ -44,7 +44,10 @@ def flash_sdpa(
     if scale is None:
         scale = 1.0 / (D**0.5)
 
-    if not use_pallas():
+    # interpret-backend tests also take the XLA path: the upstream Pallas
+    # flash_attention doesn't expose interpret mode, and flash is the
+    # prefill/train path, not the kernels-under-mesh serving surface.
+    if not use_pallas() or kernel_interpret():
         mask = None
         if causal:
             qi = jnp.arange(Sq)[:, None]

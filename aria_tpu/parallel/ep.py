@@ -45,21 +45,78 @@ def _dispatch_to_devices(dest: Array, n: int, capacity: int):
     return jnp.where(in_cap, dest * capacity + pos, n * capacity)
 
 
+def _local_expert_rows(x_recv, e_recv, w1, w2, layer_idx, n, C):
+    """Compute expert outputs for the received rows on this device's local
+    expert shard. With ``layer_idx`` the stacks are FULL ``[L, E/n, ...]``
+    stacks and the Pallas decode kernels index (layer, expert) inside their
+    BlockSpecs — only the routed tiles ever move (VERDICT r2 #6: kernels run
+    per-shard inside shard_map instead of the XLA gather fallback). Without
+    it, per-layer ``[E/n, ...]`` slices take the grouped-GEMM path."""
+    from aria_tpu.ops.backend import kernel_interpret, use_pallas
+    from aria_tpu.ops.moe import experts_grouped
+    from aria_tpu.ops.quant import (
+        dequantize_expert_weights,
+        is_quantized,
+        is_quantized_int4,
+    )
+
+    ones = jnp.ones((n * C, 1), jnp.float32)
+    if layer_idx is not None and use_pallas():
+        from aria_tpu.ops.moe_decode_kernel import (
+            moe_decode,
+            moe_decode_int4,
+            moe_decode_quant,
+        )
+
+        if is_quantized_int4(w1):
+            I2 = w1["q4"].shape[2]
+        elif is_quantized(w1):
+            I2 = w1["q"].shape[2]
+        else:
+            I2 = w1.shape[2]
+        I = I2 // 2
+        if I % 128 == 0 and I <= 2048:
+            ft = I
+        else:
+            ft = next((f for f in (1024, 512, 256, 128) if I % f == 0), None)
+        if ft is not None:
+            e_idx = e_recv[:, None]
+            if is_quantized_int4(w1):
+                import os
+
+                a8 = os.environ.get("ARIA_TPU_A8", "1") != "0"
+                return moe_decode_int4(
+                    x_recv, e_idx, ones, w1["q4"], w1["sg"], w2["q4"], w2["s8"],
+                    layer_idx, ft=ft, act_int8=a8, interpret=kernel_interpret(),
+                ).astype(x_recv.dtype)
+            if is_quantized(w1):
+                return moe_decode_quant(
+                    x_recv, e_idx, ones, w1["q"], w1["s8"], w2["q"], w2["s8"],
+                    layer_idx, ft=ft, interpret=kernel_interpret(),
+                ).astype(x_recv.dtype)
+            return moe_decode(
+                x_recv, e_idx, ones, w1, w2, layer_idx, ft=ft,
+                interpret=kernel_interpret(),
+            ).astype(x_recv.dtype)
+    if layer_idx is not None:
+        _sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, keepdims=False)
+        w1 = jax.tree.map(_sl, w1)
+        w2 = jax.tree.map(_sl, w2)
+    w1, w2 = dequantize_expert_weights(w1, w2, dtype=x_recv.dtype)
+    return experts_grouped(x_recv, e_recv[:, None], ones.astype(x_recv.dtype), w1, w2)
+
+
 def _ep_body(x, gate, w1, w2, *, axis, topk, n, capacity,
-             z_coeff, aux_coeff, training):
-    """Per-device body. x [T_loc, D]; w1 [E/n, 2I, D]; w2 [E/n, I, D].
+             z_coeff, aux_coeff, training, layer_idx=None, E_loc=None):
+    """Per-device body. x [T_loc, D]; w1 [E/n, 2I, D]; w2 [E/n, I, D]
+    (or full [L, E/n, ...] stacks when ``layer_idx`` is given).
 
     Quantized stacks (int8 ``{"q", "s"}`` / int4 ``{"q4", ...}`` dicts, see
-    ops/quant.py) arrive as per-leaf expert-axis shards and are dequantized
+    ops/quant.py) arrive as per-leaf expert-axis shards and are computed
     device-locally — each owner touches only its own E/n experts, so the
     all-to-all pattern (and the no-stack-gather property) is identical to the
     bf16 path."""
-    from aria_tpu.ops.moe import experts_grouped
-    from aria_tpu.ops.quant import dequantize_expert_weights
-
-    w1, w2 = dequantize_expert_weights(w1, w2, dtype=x.dtype)
     T_loc, D = x.shape
-    E_loc = w1.shape[0]
     E = E_loc * n
     C = capacity
 
@@ -94,9 +151,7 @@ def _ep_body(x, gate, w1, w2, *, axis, topk, n, capacity,
     e_recv = jax.lax.all_to_all(e_send[: n * C], axis, 0, 0, tiled=True)
 
     # ---- local expert compute over the received rows (k=1, weight=1)
-    out_rows = experts_grouped(
-        x_recv, e_recv[:, None], jnp.ones((n * C, 1), x.dtype), w1, w2,
-    )
+    out_rows = _local_expert_rows(x_recv, e_recv, w1, w2, layer_idx, n, C)
 
     # ---- return: rows sit exactly where the owner received them, so one
     # all-to-all restores them to the sender's buffer positions
@@ -122,8 +177,17 @@ def experts_ep(
     z_loss_coeff: float = 0.0,
     aux_loss_coeff: float = 0.0,
     training: bool = False,
+    layer_idx: Optional[Array] = None,  # w1/w2 are FULL [L, E, ...] stacks
 ):
-    """Expert-parallel MoE FFN. Returns (out [T, D], z_loss, aux_loss)."""
+    """Expert-parallel MoE FFN. Returns (out [T, D], z_loss, aux_loss).
+
+    With ``layer_idx``, ``w1``/``w2`` are the full layer-stacked weights
+    (never sliced on the host side): each shard's Pallas decode kernel
+    indexes (layer, expert) in its BlockSpecs, so per-layer expert-stack
+    copies never materialize — the serving-mesh analogue of the single-chip
+    decode path."""
+    if layer_idx is not None and training:
+        raise ValueError("full-stack EP (layer_idx) is a serving path")
     n = mesh.shape[axis]
     T, D = x.shape
     E = gate.shape[0]
@@ -138,16 +202,28 @@ def experts_ep(
     body = functools.partial(
         _ep_body, axis=axis, topk=topk, n=n, capacity=capacity,
         z_coeff=z_loss_coeff, aux_coeff=aux_loss_coeff, training=training,
+        E_loc=E // n,
     )
-    # Quantized stacks are dicts; shard every leaf over its expert axis 0.
-    w1_spec = jax.tree.map(lambda _: P(axis), w1)
-    w2_spec = jax.tree.map(lambda _: P(axis), w2)
+    # Quantized stacks are dicts; shard every leaf over its expert axis
+    # (axis 0 per-layer, axis 1 for full [L, E, ...] stacks).
+    e_axis = P(axis) if layer_idx is None else P(None, axis)
+    w1_spec = jax.tree.map(lambda _: e_axis, w1)
+    w2_spec = jax.tree.map(lambda _: e_axis, w2)
+    in_specs = [P(axis, None), P(None, None), w1_spec, w2_spec]
+    args = [x, gate, w1, w2]
+    if layer_idx is not None:
+        # traced operand, replicated (never a shard_map closure capture)
+        def body(x, gate, w1, w2, l_idx, _b=body):
+            return _b(x, gate, w1, w2, layer_idx=l_idx)
+
+        in_specs.append(P())
+        args.append(jnp.asarray(layer_idx, jnp.int32))
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None), P(None, None), w1_spec, w2_spec),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P(), P()),
         check_vma=False,
     )
-    out, z_loss, aux_loss = fn(x, gate, w1, w2)
+    out, z_loss, aux_loss = fn(*args)
     return out, z_loss, aux_loss
