@@ -91,8 +91,12 @@ class Engine:
             return cache
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = P(None, None, "model", None, None)  # heads follow TP
-        sc_spec = P(None, None, "model", None)
+        # heads follow TP, positions follow CP (64K context over chips);
+        # int4 caches pack head pairs into one byte plane, so their head
+        # axis stays replicated (parallel/cp_cache.py handles both)
+        h_ax = None if cache.packed4 else "model"
+        spec = P(None, None, h_ax, "context", None)
+        sc_spec = P(None, None, h_ax, "context")
         return KVCache(
             jax.device_put(cache.k, NamedSharding(self.mesh, spec)),
             jax.device_put(cache.v, NamedSharding(self.mesh, spec)),
@@ -163,8 +167,6 @@ class Engine:
     # ---------------- public API ----------------
 
     def new_cache(self, batch: int = 1) -> KVCache:
-        if self.mesh is not None:
-            assert self.cache_dtype != "int4", "int4 KV head-pairing crosses TP shards"
         return self._shard_cache(
             KVCache.init(self.cfg.text, batch, self.max_seq_len, self.cache_dtype)
         )

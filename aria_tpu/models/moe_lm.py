@@ -285,6 +285,11 @@ def _attention(
         if mesh is not None and "model" in mesh.axis_names
         else 1
     )
+    cp_n = (
+        mesh.shape["context"]
+        if mesh is not None and "context" in mesh.axis_names
+        else 1
+    )
     if dense_q4 is not None:
         from aria_tpu.ops.dense_int4 import dense_int4, dequantize_dense_int4
 
@@ -505,46 +510,29 @@ def _attention(
     elif (cache_kv is not None and S == 1 and use_pallas() and mesh is not None
           and cfg.num_kv_heads == cfg.num_heads
           and cfg.num_heads % tp_n == 0
-          and not cache_kv.packed4):  # int4 head-pair packing crosses shards
-        # TP decode: heads are sharded over `model` (Engine puts the cache at
-        # P(None, None, "model", ...)); shard_map hands each device its local
-        # [B, H/tp, D] q and [L, B, H/tp, S, D] cache planes, on which the
-        # single-chip Pallas kernel runs unchanged — attention is exactly
-        # head-parallel, so no collective is needed inside the body. On a
-        # mesh with no model axis (pure EP) the specs are fully replicated
-        # and every device runs the kernel on its full cache replica —
-        # still the kernel, never the XLA gather fallback.
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as TP_P
+          and (new_cache.k.shape[3] // cp_n) % 128 == 0):
+        # Serving-mesh decode: heads shard over `model` (TP), cache positions
+        # over `context` (CP); inside shard_map the local shards are plain
+        # arrays, so the single-chip Pallas kernel runs per shard — never the
+        # XLA gather fallback. Under CP the per-block (acc, m, s) partials
+        # merge exactly (parallel/cp_cache.py); on a mesh with neither axis
+        # the specs are fully replicated and every device runs the full
+        # kernel on its cache replica.
+        from aria_tpu.parallel.cp_cache import mesh_decode_attention
 
-        from aria_tpu.ops.decode_attention import decode_attention
+        out = mesh_decode_attention(
+            q[:, 0], new_cache, layer_idx, lengths, mesh,
+        )[:, None].astype(q.dtype)
+    elif (cache_kv is not None and S > 1 and cp_n > 1 and mask is not None
+          and new_cache.k.shape[3] % cp_n == 0):
+        # Cached prefill under context parallelism: the (64K) KV cache is
+        # position-sharded over `context`; each device attends the query
+        # chunk against its local block and the online-softmax partials
+        # merge with one pmax + two psums (parallel/cp_cache.py). Per-device
+        # peak logits memory drops from S x Smax to S x Smax/c.
+        from aria_tpu.parallel.cp_cache import cp_cached_prefill_attention
 
-        def _tp_attn(q_l, k_l, v_l, ks_l, vs_l, len_l):
-            return decode_attention(
-                q_l, k_l, v_l, layer_idx, len_l,
-                k_scale=ks_l, v_scale=vs_l, interpret=kernel_interpret(),
-            )
-
-        h_spec = TP_P(None, "model", None)  # q / out [B, H, D]
-        kv_spec = TP_P(None, None, "model", None, None)
-        sc_spec = TP_P(None, None, "model", None)
-        if new_cache.quantized:
-            fn = shard_map(
-                _tp_attn, mesh=mesh,
-                in_specs=(h_spec, kv_spec, kv_spec, sc_spec, sc_spec, TP_P(None)),
-                out_specs=h_spec, check_vma=False,
-            )
-            out = fn(q[:, 0], new_cache.k, new_cache.v,
-                     new_cache.k_scale, new_cache.v_scale, lengths)[:, None]
-        else:
-            fn = shard_map(
-                lambda q_l, k_l, v_l, len_l: _tp_attn(q_l, k_l, v_l, None, None, len_l),
-                mesh=mesh,
-                in_specs=(h_spec, kv_spec, kv_spec, TP_P(None)),
-                out_specs=h_spec, check_vma=False,
-            )
-            out = fn(q[:, 0], new_cache.k, new_cache.v, lengths)[:, None]
-        out = out.astype(q.dtype)
+        out = cp_cached_prefill_attention(q, new_cache, layer_idx, mask, mesh)
     elif cache_kv is not None:
         def _plane(arr):
             return jax.lax.dynamic_index_in_dim(arr, layer_idx, 0, keepdims=False)
