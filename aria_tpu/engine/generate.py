@@ -78,11 +78,22 @@ class Engine:
             # The serving analogue of the reference's device_map="auto" /
             # vLLM TP (aria/inference.py:56, docs/inference.md:88-91):
             # GSPMD-shard the params; every jitted step compiles multi-chip.
-            from aria_tpu.parallel.mesh import aria_param_specs, shard_tree
+            from aria_tpu.parallel.mesh import (
+                aria_param_specs,
+                is_serving_quantized,
+                serving_param_specs,
+                shard_tree,
+            )
 
-            specs = aria_param_specs()
-            if "vision" not in params:
-                specs = {k: v for k, v in specs.items() if k in params}
+            if is_serving_quantized(params):
+                # int4/int8 serving form: expert stacks shard over `expert`
+                # (per-leaf), everything else replicates — the layout the
+                # full-stack EP decode kernels consume (parallel/ep.py)
+                specs = serving_param_specs(params)
+            else:
+                specs = aria_param_specs()
+                if "vision" not in params:
+                    specs = {k: v for k, v in specs.items() if k in params}
             params = shard_tree(params, specs, mesh)
         self.params = params
 

@@ -139,6 +139,43 @@ def aria_param_specs() -> dict:
     }
 
 
+def serving_param_specs(params: dict) -> dict:
+    """Spec tree for the quantized serving form (int4/int8 dict-valued
+    leaves, see models/moe_lm.py::init_lm_params_serving_int4).
+
+    The bf16 ``aria_param_specs`` tree cannot map onto the quantized
+    structure, and TP-style hidden-dim sharding would split int4 nibble
+    packs/scale groups across devices. Instead the dominant component — the
+    expert stacks (11.8GB of 13.3GB at flagship scale) — shards per-leaf
+    over ``expert`` (dim 1 of every ``[L, E, ...]`` leaf, the layout the
+    full-stack EP decode path consumes), and everything else replicates:
+    with E experts over n chips, per-chip HBM drops to ~E/n stacks + ~1.5GB
+    of replicated attention/embed weights."""
+    def rep(t):
+        return jax.tree.map(lambda _: P(), t)
+
+    out = {}
+    for k, v in params.items():
+        if k == "lm":
+            out[k] = serving_param_specs(v)
+        elif k == "layers":
+            out[k] = {
+                k2: (jax.tree.map(lambda _: P(None, "expert"), v2)
+                     if k2 in ("w1", "w2") else rep(v2))
+                for k2, v2 in v.items()
+            }
+        else:
+            out[k] = rep(v)
+    return out
+
+
+def is_serving_quantized(params: dict) -> bool:
+    """True when the LM tree is in quantized serving form (dict leaves)."""
+    lm = params.get("lm", params)
+    layers = lm.get("layers", {})
+    return isinstance(layers.get("w1"), dict) or isinstance(layers.get("wqkv"), dict)
+
+
 def shard_tree(tree, specs, mesh: Mesh):
     """Apply NamedShardings from a spec tree to a param tree.
 

@@ -10,6 +10,7 @@ breakage was invisible to the suite for exactly this reason).
 import dataclasses
 import os
 from contextlib import contextmanager
+from contextlib import nullcontext as _nullcontext
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,10 @@ class TestTPDecodeAttentionKernel:
         gen = GenerationConfig(max_new_tokens=6, temperature=0.0, top_k=None,
                                decode_chunk=3)
         prompt = [9, 9, 200]
-        with kernels("xla"):
+        # interpret single-chip reference: the same fresh-k/v prefill read
+        # and Pallas decode-kernel numerics the mesh path uses (the XLA
+        # engine instead attends the quantized cache during prefill)
+        with kernels("interpret"):
             ref = Engine(params, cfg, max_seq_len=128,
                          cache_dtype=jnp.int8).generate(prompt, gen)
 
@@ -104,6 +108,101 @@ class TestTPDecodeAttentionKernel:
         # int8 KV quantization noise is identical in both runs (same scales);
         # greedy tokens must match exactly
         assert got.tokens == ref.tokens
+
+
+def int4_serving_cfg() -> AriaConfig:
+    """Dims sized for the int4 kernels' tile rules: dense_int4 needs a tile
+    dividing F (wqkv F = 3*q_size = 768, wo F = D = 256), the MoE kernels
+    need ft | I (I = 256)."""
+    base = AriaConfig.tiny()
+    return dataclasses.replace(
+        base,
+        text=dataclasses.replace(
+            base.text, hidden_size=256, num_heads=16, num_kv_heads=16,
+            head_dim=16, moe_intermediate_size=256,
+        ),
+    )
+
+
+class TestInt4ServingUnderMesh:
+    """The full int4 serving form (packed expert stacks + dense int4
+    projections + int8 embed/head + int8 KV) under an expert-parallel mesh.
+    Covers mesh.serving_param_specs (per-leaf expert sharding of the
+    quantized tree) + the full-stack EP kernel + replicated dense-int4 and
+    decode-attention shard_map bodies.
+
+    Exact token equality vs the single-chip kernel path is NOT the contract:
+    the EP combine rounds each expert-slot output to bf16 for the return
+    all-to-all (half the ICI traffic) where the single-chip kernel keeps the
+    weighted slot sum in f32 — a ~5e-2 logit perturbation that can flip
+    greedy argmax on a random tiny model. The mesh path's own invariant IS
+    exact: results must be independent of the mesh size."""
+
+    def _generate(self, params, cfg, gen, prompt, mesh=None):
+        from aria_tpu.engine.generate import Engine
+
+        ctx = mesh if mesh is not None else _nullcontext()
+        with kernels("interpret"), ctx:
+            return Engine(params, cfg, max_seq_len=256, cache_dtype=jnp.int8,
+                          mesh=mesh).generate(prompt, gen)
+
+    def test_int4_engine_ep_mesh_size_invariant(self, monkeypatch):
+        from aria_tpu.engine.generate import GenerationConfig
+        from aria_tpu.models.moe_lm import init_lm_params_serving_int4
+        from aria_tpu.ops import moe_decode_kernel as mdk_mod
+
+        monkeypatch.setenv("ARIA_TPU_A8", "0")  # exact-vs-dequant comparison
+        cfg = int4_serving_cfg()
+        params = {
+            "lm": init_lm_params_serving_int4(
+                jax.random.PRNGKey(0), cfg.text, fuse_shared=False
+            )
+        }
+        gen = GenerationConfig(max_new_tokens=5, temperature=0.0, top_k=None,
+                               decode_chunk=3)
+        prompt = [5, 17, 3, 42]
+
+        calls = _count_calls(monkeypatch, mdk_mod, "moe_decode_int4")
+        got2 = self._generate(params, cfg, gen, prompt,
+                              make_mesh(MeshConfig(expert=2)))
+        assert calls, "EP int4 prefill did not take the Pallas kernel path"
+        got4 = self._generate(params, cfg, gen, prompt,
+                              make_mesh(MeshConfig(expert=4)))
+        assert got2.tokens == got4.tokens
+
+    def test_int4_ep_prefill_logits_close_to_single_chip(self, monkeypatch):
+        """Ties the mesh path to the single-chip ground truth numerically:
+        last-position prefill logits must agree to the EP combine's bf16
+        rounding noise."""
+        from aria_tpu.models.moe_lm import (
+            KVCache,
+            init_lm_params_serving_int4,
+            lm_forward,
+        )
+
+        monkeypatch.setenv("ARIA_TPU_A8", "0")
+        cfg = int4_serving_cfg()
+        params = init_lm_params_serving_int4(
+            jax.random.PRNGKey(0), cfg.text, fuse_shared=False
+        )
+        ids = jnp.array([[5, 17, 3, 42]], dtype=jnp.int32)
+
+        with kernels("interpret"):
+            ref = lm_forward(
+                params, cfg.text, ids,
+                cache=KVCache.init(cfg.text, 1, 64, dtype=jnp.int8),
+                cache_pos=jnp.int32(0), causal_flash=True,
+            ).logits[0, -1].astype(jnp.float32)
+
+        mesh = make_mesh(MeshConfig(expert=2))
+        with kernels("interpret"), mesh:
+            got = lm_forward(
+                jax.device_put(params),
+                cfg.text, ids,
+                cache=KVCache.init(cfg.text, 1, 64, dtype=jnp.int8),
+                cache_pos=jnp.int32(0), causal_flash=True, mesh=mesh,
+            ).logits[0, -1].astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
 
 
 class TestEPDecodeKernel:
