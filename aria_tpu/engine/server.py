@@ -65,7 +65,10 @@ class BatchedEngine:
     ):
         self.cfg = cfg
         self.B = max_lanes
-        self.S = -(-max_seq_len // 256) * 256
+        # 128 = the decode-attention kernel's minimum S block; finer rounding
+        # matters at high lane counts (96 lanes x an extra 128 positions of
+        # int4 KV is ~0.9GB of HBM)
+        self.S = -(-max_seq_len // 128) * 128
         self.temperature = temperature
         self.top_k = top_k
         self.decode_chunk = decode_chunk
@@ -256,7 +259,11 @@ class BatchedEngine:
                 return
             group: List[Request] = []
             bucket = None
-            while self.queue and len(group) < len(free):
+            # Cap the burst: a 128-row x 64-token prefill's segmented-MoE f32
+            # temps alone are ~1.4GB (observed OOM at 96 lanes); 32 rows
+            # bounds them at ~350MB while keeping the O(1)-expert-stream
+            # amortization for the common burst sizes.
+            while self.queue and len(group) < min(len(free), 32):
                 req = self.queue[0]
                 if req.pixel_values is not None:
                     break

@@ -44,6 +44,13 @@ from aria_tpu.ops.rope import apply_rope, precompute_rope
 # Below this many tokens the gathered-weights decode path beats the
 # dispatch+batched-GEMM path (analogue of gptfast/model.py:318's T<50 switch).
 GATHER_PATH_MAX_TOKENS = 32
+# The unique-expert Pallas decode kernels stay optimal to higher lane counts
+# (weights DMA once per ACTIVE expert, so cost saturates at |E| regardless of
+# T): keep them engaged for 64-128-lane serving steps. Each active expert
+# computes ALL T rows, so compute grows T×|E|; at ~128 lanes that crosses the
+# ~15 ms/step expert-stream DMA bound and the segmented prefill kernel
+# (routed rows only) takes over.
+DECODE_KERNEL_MAX_TOKENS = 128
 
 
 class KVCache(NamedTuple):
@@ -742,7 +749,7 @@ def _moe_ffn(
     # single-chip kernels: with a mesh the XLA/GSPMD paths run instead
     kernels_ok = use_pallas() and mesh is None
     use_decode_kernel = (
-        T <= GATHER_PATH_MAX_TOKENS and kernels_ok and not training
+        T <= DECODE_KERNEL_MAX_TOKENS and kernels_ok and not training
         and not has_expert_lora
     )
     if use_decode_kernel:

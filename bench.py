@@ -47,18 +47,19 @@ def bench_batched(params, cfg, args):
     from aria_tpu.engine.server import BatchedEngine
 
     n = args.lanes
+    max_seq = args.max_seq or 512
     cache_dtype = "int4" if args.kv_int4 else (jnp.int8 if args.kv_int8 else jnp.bfloat16)
     if args.paged:
         from aria_tpu.engine.server import PagedBatchedEngine
 
         srv = PagedBatchedEngine(
-            params, cfg, max_lanes=n, max_seq_len=512, page_size=256,
+            params, cfg, max_lanes=n, max_seq_len=max_seq, page_size=256,
             temperature=0.8, top_k=200, decode_chunk=50,
             cache_dtype=cache_dtype,
         )
     else:
         srv = BatchedEngine(
-            params, cfg, max_lanes=n, max_seq_len=512,
+            params, cfg, max_lanes=n, max_seq_len=max_seq,
             temperature=0.8, top_k=200, decode_chunk=50,
             cache_dtype=cache_dtype,
         )
@@ -71,7 +72,10 @@ def bench_batched(params, cfg, args):
 
     # warmup (compiles prefill + batched decode)
     submit_all()
-    srv.run_until_complete()
+    finished = srv.run_until_complete()
+    errs = [f.error for f in finished if getattr(f, "error", None)]
+    if errs:
+        raise SystemExit(f"# {len(errs)} requests errored, e.g.: {errs[0]}")
     results = []
     for r in range(args.runs):
         submit_all()
@@ -83,10 +87,10 @@ def bench_batched(params, cfg, args):
         print(f"# run {r}: {total} tokens across {n} lanes in {dt:.2f}s = {total/dt:.1f} tok/s", flush=True)
     tok_s = float(np.mean(results))
     suffix = "_full64_int4" if args.int4 else ("" if args.bf16 else "_int8")
-    if args.kv_int8:
-        suffix += "_kv8"
     if args.kv_int4:
         suffix += "_kv4"
+    elif args.kv_int8:
+        suffix += "_kv8"
     if args.paged:
         suffix += "_paged"
     print(json.dumps({
@@ -197,6 +201,9 @@ def main():
                     help="round-1 mode: 8-expert EP-shard-equivalent, int8 weights")
     ap.add_argument("--paged", action="store_true",
                     help="lanes mode uses the paged-KV server (PagedBatchedEngine)")
+    ap.add_argument("--max-seq", type=int, default=0,
+                    help="lanes mode: per-lane KV allocation (default 512; "
+                    "256 lets 64 int8-KV lanes fit beside the full model)")
     ap.add_argument("--train", action="store_true",
                     help="LoRA fine-tune throughput (EP-8 shard, 2k seq)")
     ap.add_argument("--train-batch", type=int, default=1)

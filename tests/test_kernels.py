@@ -77,6 +77,24 @@ class TestMoEDecodeKernel:
                                   jnp.int32(l), ft=256, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
+    def test_int4_64_lanes_matches_gather(self, moe_setup):
+        """64-lane serving steps (DECODE_KERNEL_MAX_TOKENS) stay on the
+        unique-expert kernel: T=64 > E means every expert is active and each
+        is DMA'd exactly once."""
+        s = moe_setup
+        rng = np.random.RandomState(7)
+        x64 = jnp.asarray(rng.randn(64, s["x"].shape[1]).astype(np.float32))
+        r = route_topk(x64, s["gate"], s["k"])
+        w1q, w2q = quantize_expert_int4(s["w1"], s["w2"])
+        w1d, w2d = dequantize_expert_weights(
+            {k2: v[0] for k2, v in w1q.items()},
+            {k2: v[0] for k2, v in w2q.items()}, dtype=jnp.float32)
+        ref = experts_gather(x64, r.indices, r.weights, w1d, w2d)
+        got = moe_decode_int4(x64, r.indices, r.weights,
+                              w1q["q4"], w1q["sg"], w2q["q4"], w2q["s8"],
+                              jnp.int32(0), ft=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
     def test_int4_a8_variant_integer_path_exact(self, moe_setup):
         """W4A8: feeding the dequantized-int8 activations through the XLA
         reference must match the kernel's integer-dot pipeline — isolates the
