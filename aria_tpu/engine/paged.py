@@ -207,20 +207,74 @@ def gather_lane_kv(cache: PagedKVCache, layer_idx: Array, page_table: Array):
 
 
 class PagePool:
-    """Host-side page allocator: a free list over the shared pool. Page 0 is
-    reserved as the null page that unallocated table entries point at."""
+    """Host-side page allocator: refcounted free list over the shared pool,
+    plus a content-addressed prefix cache (vLLM "automatic prefix caching").
+
+    Page 0 is reserved as the null page that unallocated table entries point
+    at. A page whose refcount drops to zero returns to the free stack unless
+    it was *registered* under a content key — then it parks in an LRU side
+    pool, still holding its KV contents, and is resurrected by
+    :meth:`lookup` when a later prompt shares the prefix. LRU pages are
+    evicted transparently when a plain :meth:`alloc` would otherwise fail,
+    so caching never reduces effective capacity.
+    """
 
     def __init__(self, num_pages: int):
         self.free = list(range(num_pages - 1, 0, -1))  # stack; page 0 reserved
+        self.refs: dict = {}  # page -> live reference count
+        self.key_to_page: dict = {}  # content key -> page (registered)
+        self.page_to_key: dict = {}  # inverse of the above
+        from collections import OrderedDict
+
+        self.lru: "OrderedDict[int, None]" = OrderedDict()  # ref==0 registered pages
+        self.hits = 0  # pages served from the prefix cache
 
     def alloc(self, n: int) -> Optional[list]:
+        while len(self.free) < n and self.lru:
+            page, _ = self.lru.popitem(last=False)  # evict least-recent
+            key = self.page_to_key.pop(page)
+            del self.key_to_page[key]
+            self.free.append(page)
         if len(self.free) < n:
             return None
-        return [self.free.pop() for _ in range(n)]
+        pages = [self.free.pop() for _ in range(n)]
+        for p in pages:
+            self.refs[p] = 1
+        return pages
+
+    def lookup(self, key) -> Optional[int]:
+        """Take a reference on the cached page for ``key``, if present."""
+        page = self.key_to_page.get(key)
+        if page is None:
+            return None
+        self.refs[page] = self.refs.get(page, 0) + 1
+        self.lru.pop(page, None)  # referenced again: not evictable
+        self.hits += 1
+        return page
+
+    def register(self, key, page: int) -> None:
+        """Publish a fully-written, immutable page under a content key.
+        First writer wins; duplicates stay private and free normally."""
+        if key in self.key_to_page or page in self.page_to_key:
+            return
+        self.key_to_page[key] = page
+        self.page_to_key[page] = key
 
     def release(self, pages) -> None:
-        self.free.extend(p for p in pages if p != 0)
+        for p in pages:
+            if p == 0:
+                continue
+            self.refs[p] = self.refs.get(p, 1) - 1
+            if self.refs[p] > 0:
+                continue
+            del self.refs[p]
+            if p in self.page_to_key:
+                self.lru[p] = None  # parked, contents retained
+                self.lru.move_to_end(p)
+            else:
+                self.free.append(p)
 
     @property
     def available(self) -> int:
-        return len(self.free)
+        """Pages allocatable right now (free + evictable cached)."""
+        return len(self.free) + len(self.lru)

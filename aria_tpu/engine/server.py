@@ -46,6 +46,7 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     error: Optional[str] = None
+    cached_tokens: int = 0  # prompt tokens served from the prefix cache
 
 
 class BatchedEngine:
@@ -463,6 +464,7 @@ class PagedBatchedEngine:
         decode_chunk: int = 16,
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
+        prefix_cache: bool = True,
     ):
         from aria_tpu.engine.paged import PagePool, PagedKVCache
 
@@ -484,6 +486,13 @@ class PagedBatchedEngine:
         self.pool = PagePool(num_pages)
         self.cache = PagedKVCache.init(cfg.text, num_pages, page_size, cache_dtype)
         self.page_table = np.zeros((self.B, self.MAXP), np.int32)  # 0 = null page
+        # Automatic prefix caching (vLLM parity): full prompt pages are
+        # content-addressed by a chain hash of their token ids, so requests
+        # sharing a prefix (system prompt, few-shot header) reuse the cached
+        # KV pages and skip those prefill chunks. Reuse offsets are page
+        # multiples, so the chunk grid must tile pages exactly.
+        self.prefix_cache = prefix_cache and (page_size % prefill_chunk == 0)
+        self.lane_keys: List[Optional[list]] = [None] * self.B
 
         self.lane_req: List[Optional[Request]] = [None] * self.B
         self.lane_state = [None] * self.B  # PREFILL | DECODE | None
@@ -605,19 +614,51 @@ class PagedBatchedEngine:
             return True
         n_chunks = -(-true_len // self.C)
         need_pages = -(-(n_chunks * self.C) // self.PS)
-        pages = self.pool.alloc(need_pages)
-        if pages is None:
-            return False  # pool pressure: stay queued, decode keeps draining
+
+        # Prefix-cache lookup (text-only: image KV depends on pixel content).
+        # Never reuse the page holding the last prompt token — at least one
+        # chunk must run to produce the first-token logits.
+        shared: list = []
+        keys: Optional[list] = None
+        if self.prefix_cache and req.pixel_values is None:
+            keys = self._page_keys(req.prompt_tokens)
+            for key in keys[: (true_len - 1) // self.PS]:
+                page = self.pool.lookup(key)
+                if page is None:
+                    break
+                shared.append(page)
+
+        fresh = self.pool.alloc(need_pages - len(shared))
+        if fresh is None:
+            self.pool.release(shared)  # pool pressure: stay queued
+            return False
+        pages = shared + fresh
         self.queue.popleft()
         self.page_table[lane, :need_pages] = pages
         self.lane_pages[lane] = pages
+        self.lane_keys[lane] = keys
         self.lane_req[lane] = req
         self.lane_state[lane] = self.PREFILL
-        self.lane_pos[lane] = 0
+        self.lane_pos[lane] = len(shared) * self.PS  # skip cached chunks
+        req.cached_tokens = len(shared) * self.PS
         self.lane_true_len[lane] = true_len
         self.lane_temp[lane] = self.temperature if req.temperature is None else req.temperature
         self.lane_embeds[lane] = self._embeds_for(req, n_chunks * self.C)
         return True
+
+    def _page_keys(self, tokens: Sequence[int]) -> list:
+        """Chain hash per FULL prompt page: key i commits to tokens[0 : (i+1)*PS],
+        so equal keys imply equal positions AND equal history — the cached
+        KV (absolute-position RoPE) is valid verbatim."""
+        import hashlib
+
+        h = hashlib.sha1()
+        keys = []
+        for i in range(len(tokens) // self.PS):
+            h.update(np.asarray(
+                tokens[i * self.PS : (i + 1) * self.PS], np.int32).tobytes())
+            keys.append(h.hexdigest())
+        return keys
 
     def _prefill_tick(self):
         """Advance EVERY mid-prefill lane by one chunk: a burst of short
@@ -651,6 +692,12 @@ class PagedBatchedEngine:
             self.lane_pos[lane] = true_len
             self.lane_state[lane] = self.DECODE
             self.lane_embeds[lane] = None
+            # Publish this prompt's full pages: their KV is complete and —
+            # decode appends strictly after true_len — immutable from here.
+            if self.lane_keys[lane]:
+                for key, page in zip(self.lane_keys[lane], self.lane_pages[lane]):
+                    self.pool.register(key, page)
+                self.lane_keys[lane] = None
 
     def _ensure_pages(self, lane: int, upto: int) -> bool:
         """Grow the lane's table to cover logical positions < upto."""
@@ -673,6 +720,7 @@ class PagedBatchedEngine:
         self.pool.release(self.lane_pages[lane])
         self.page_table[lane, :] = 0
         self.lane_pages[lane] = []
+        self.lane_keys[lane] = None  # never register pages of an unfinished prefill
         self.lane_req[lane] = None
         self.lane_state[lane] = None
         self.lane_embeds[lane] = None

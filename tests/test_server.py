@@ -197,6 +197,104 @@ class TestPagedEngine:
         assert finished[0].error is not None
 
 
+class TestPrefixCache:
+    """Automatic prefix caching in the paged engine: requests sharing a
+    page-aligned prompt prefix reuse the cached KV pages (skipping those
+    prefill chunks) and must still match the single engine token-for-token."""
+
+    def _paged(self, params, **kw):
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        kw.setdefault("max_lanes", 1)
+        kw.setdefault("max_seq_len", 256)
+        kw.setdefault("page_size", 32)
+        kw.setdefault("prefill_chunk", 32)
+        kw.setdefault("temperature", 0.0)
+        kw.setdefault("decode_chunk", 4)
+        kw.setdefault("cache_dtype", jnp.float32)
+        return PagedBatchedEngine(params, TINY, **kw)
+
+    def test_shared_system_prompt_reuses_pages_and_matches(self):
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=256, cache_dtype=jnp.float32)
+        srv = self._paged(params)
+        sys_prompt = [7 + (i % 90) for i in range(64)]  # 2 full 32-token pages
+        p1, p2 = sys_prompt + [5, 17, 3], sys_prompt + [9, 200, 41]
+        exp = [
+            single.generate(
+                p, GenerationConfig(max_new_tokens=6, temperature=0.0, top_k=None)
+            ).tokens
+            for p in (p1, p2)
+        ]
+        srv.submit(p1, max_new_tokens=6)
+        (f1,) = srv.run_until_complete()
+        srv.submit(p2, max_new_tokens=6)
+        (f2,) = srv.run_until_complete()
+        assert f1.cached_tokens == 0 and f2.cached_tokens == 64
+        assert srv.pool.hits == 2
+        assert f1.generated == exp[0], (f1.generated, exp[0])
+        assert f2.generated == exp[1], (f2.generated, exp[1])
+
+    def test_page_aligned_prompt_never_reuses_final_page(self):
+        """A fully page-aligned identical prompt caps reuse one page short so
+        at least one chunk runs to produce the first-token logits."""
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=256, cache_dtype=jnp.float32)
+        srv = self._paged(params)
+        prompt = [11 + (i % 50) for i in range(96)]  # exactly 3 pages
+        exp = single.generate(
+            prompt, GenerationConfig(max_new_tokens=5, temperature=0.0, top_k=None)
+        ).tokens
+        srv.submit(prompt, max_new_tokens=5)
+        (f1,) = srv.run_until_complete()
+        srv.submit(prompt, max_new_tokens=5)
+        (f2,) = srv.run_until_complete()
+        assert f2.cached_tokens == 64  # 2 of 3 pages
+        assert f1.generated == exp and f2.generated == exp
+
+    def test_eviction_under_pool_pressure(self):
+        """Cached (ref==0) pages must be transparently evicted when a fresh
+        request needs the space — caching never reduces capacity."""
+        params = make_params()
+        srv = self._paged(params, num_pages=1 + 4, max_seq_len=128)
+        srv.submit([3] * 60, max_new_tokens=4)  # 2 pages, 1 registered
+        srv.run_until_complete()
+        assert len(srv.pool.lru) >= 1
+        srv.submit([4] * 120, max_new_tokens=4)  # needs all 4 pages
+        (f,) = srv.run_until_complete()
+        assert f.error is None and len(f.generated) == 4
+        assert len(srv.pool.key_to_page) <= 4
+
+    def test_prefix_cache_disabled(self):
+        params = make_params()
+        srv = self._paged(params, prefix_cache=False)
+        prompt = [5 + (i % 40) for i in range(64)]
+        for _ in range(2):
+            srv.submit(prompt, max_new_tokens=4)
+            (f,) = srv.run_until_complete()
+            assert f.cached_tokens == 0
+        assert srv.pool.hits == 0
+
+    def test_multimodal_requests_bypass_prefix_cache(self):
+        """Image KV depends on pixel content, not just token ids — image
+        requests must neither reuse nor register pages."""
+        import numpy as np
+
+        params = make_params()
+        cfg = TINY
+        S_img = cfg.vision.image_size
+        n_q = cfg.projector.query_count(cfg.vision.patches_per_side**2)
+        prompt = [4] + [cfg.image_token_id] * n_q + [7] * (70 - 2 - n_q)
+        pixels = np.random.RandomState(3).randn(1, 3, S_img, S_img).astype(np.float32)
+        mask = np.ones((1, S_img, S_img), bool)
+        srv = self._paged(params)
+        for _ in range(2):
+            srv.submit(prompt, max_new_tokens=3, pixel_values=pixels, pixel_mask=mask)
+            (f,) = srv.run_until_complete()
+            assert f.cached_tokens == 0
+        assert srv.pool.hits == 0 and not srv.pool.key_to_page
+
+
 class TestBatchedMultimodal:
     def test_multimodal_request_matches_single_engine(self):
         import numpy as np
