@@ -1,26 +1,44 @@
-"""Minimal HTTP serving frontend over the continuous-batching engine.
+"""HTTP serving frontend over the continuous-batching engine.
 
 The reference delegates production serving to vLLM (docs/inference.md:80-149);
 this is the equivalent front door here: a stdlib HTTP server that enqueues
-requests into a BatchedEngine and a scheduler thread that drives decode
-chunks. Requests join/leave the batch mid-flight.
+requests into a BatchedEngine/PagedBatchedEngine and a scheduler thread that
+drives decode chunks. Requests join/leave the batch mid-flight; streaming
+responses deliver tokens per decode chunk; abandoned requests are cancelled
+so they stop burning lane time (vLLM abort_request parity).
 
-    POST /generate {"prompt": str, "max_new_tokens": int, "temperature": float}
+Native API:
+    POST /generate {"prompt": str, "max_new_tokens": int, "temperature": float,
+                    "stream": bool}
       -> {"text": str, "tokens": [...], "uid": int}
-    GET /health -> {"status": "ok", "active": n, "queued": m}
+      -> (stream) text/event-stream of {"text": delta, "tokens": [...]} + [DONE]
+    GET /health  -> {"status": "ok", "active": n, "queued": m}
+    GET /metrics -> request/token counters, throughput, prefix-cache stats
+
+OpenAI-compatible API (the de-facto serving surface vLLM exposes):
+    GET  /v1/models
+    POST /v1/completions       {"prompt", "max_tokens", "temperature", "stream"}
+    POST /v1/chat/completions  {"messages": [{"role", "content"}], ...}
+Chat messages use the ChatML template (data/chat.py, reference aria/data.py
+format); string and [{"type": "text"}] content are both accepted.
 """
 
 from __future__ import annotations
 
 import json
+import queue as queue_mod
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
+
+MODEL_ID = "aria-tpu"
 
 
 class ServingLoop:
     """Drives BatchedEngine.step() on a dedicated thread; callers block on
-    per-request events."""
+    per-request events or consume per-request streaming queues."""
 
     def __init__(self, engine, tokenizer, max_image_size: int = 980):
         from aria_tpu.data.processor import AriaProcessor
@@ -32,19 +50,39 @@ class ServingLoop:
         self._lock = threading.Lock()
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, object] = {}
+        self._streams: Dict[int, queue_mod.Queue] = {}
+        self._stream_reqs: Dict[int, object] = {}
+        self._sent: Dict[int, int] = {}
         self._abandoned: set = set()
+        self.stats = {"requests": 0, "generated_tokens": 0,
+                      "prompt_tokens": 0, "started": time.time()}
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        import time
-
         while not self._stop:
             with self._lock:
                 finished = self.engine.step()
+                # push per-chunk token deltas to streaming consumers BEFORE
+                # the EOS sentinel below, so the final chunk is never lost
+                for uid, q in list(self._streams.items()):
+                    req = self._stream_reqs[uid]
+                    sent = self._sent[uid]
+                    if len(req.generated) > sent:
+                        q.put(list(req.generated[sent:]))
+                        self._sent[uid] = len(req.generated)
                 idle = not self.engine.queue and not self.engine._active_mask().any()
             for req in finished:
+                self.stats["requests"] += 1
+                self.stats["generated_tokens"] += len(req.generated)
+                self.stats["prompt_tokens"] += len(req.prompt_tokens)
+                q = self._streams.pop(req.uid, None)
+                if q is not None:
+                    self._stream_reqs.pop(req.uid, None)
+                    self._sent.pop(req.uid, None)
+                    q.put(None)  # EOS sentinel
+                    continue
                 if req.uid in self._abandoned:  # timed-out caller: discard
                     self._abandoned.discard(req.uid)
                     continue
@@ -55,41 +93,125 @@ class ServingLoop:
             if idle:
                 time.sleep(0.005)
 
+    # ------------------------------------------------------------ submit
+
+    def _submit(self, prompt: str, max_new_tokens: int,
+                temperature: Optional[float]):
+        out = self.processor(prompt, max_image_size=self.max_image_size)
+        stop_ids = tuple(
+            t for t in [getattr(self.tokenizer, "eos_token_id", None)]
+            if t is not None
+        )
+        uid = self.engine.submit(
+            out.input_ids[0].tolist(), max_new_tokens=max_new_tokens,
+            stop_token_ids=stop_ids, temperature=temperature,
+        )
+        return uid, self.engine.queue[-1]
+
     def submit_and_wait(self, prompt: str, max_new_tokens: int = 256,
                         temperature: Optional[float] = None,
                         timeout: float = 600.0):
-        out = self.processor(prompt, max_image_size=self.max_image_size)
-        stop_ids = tuple(
-            t for t in [getattr(self.tokenizer, "eos_token_id", None)] if t is not None
-        )
         ev = threading.Event()
         with self._lock:
-            uid = self.engine.submit(
-                out.input_ids[0].tolist(), max_new_tokens=max_new_tokens,
-                stop_token_ids=stop_ids, temperature=temperature,
-            )
+            uid, _ = self._submit(prompt, max_new_tokens, temperature)
             self._events[uid] = ev
         if not ev.wait(timeout):
-            # Drop our bookkeeping so the request's eventual result doesn't
-            # leak in _results forever. The lane itself still runs to
-            # max_new_tokens (BatchedEngine has no mid-flight cancel yet);
-            # _abandoned tells the scheduler loop to discard the result.
             with self._lock:
                 self._events.pop(uid, None)
+                # free the lane instead of letting the abandoned request run
+                # to max_new_tokens; the cancelled request still flows through
+                # finished on the next tick, so mark it abandoned either way
+                self.engine.cancel(uid)
                 self._abandoned.add(uid)
+                self._results.pop(uid, None)
             raise TimeoutError(f"request {uid} timed out")
         req = self._results.pop(uid)
         text = self.tokenizer.decode(req.generated).split("<|im_end|>")[0]
         return {"text": text, "tokens": req.generated, "uid": uid,
                 "error": req.error}
 
+    def submit_stream(self, prompt: str, max_new_tokens: int = 256,
+                      temperature: Optional[float] = None,
+                      timeout: float = 600.0):
+        """Returns (uid, iterator of per-chunk token-id lists)."""
+        q: queue_mod.Queue = queue_mod.Queue()
+        with self._lock:
+            uid, req = self._submit(prompt, max_new_tokens, temperature)
+            self._streams[uid] = q
+            self._stream_reqs[uid] = req
+            self._sent[uid] = 0
+
+        def deltas():
+            while True:
+                try:
+                    item = q.get(timeout=timeout)
+                except queue_mod.Empty:
+                    with self._lock:
+                        self.engine.cancel(uid)
+                        self._streams.pop(uid, None)
+                        self._stream_reqs.pop(uid, None)
+                        self._sent.pop(uid, None)
+                    return
+                if item is None:
+                    return
+                yield item
+
+        return uid, deltas()
+
+    def cancel(self, uid: int) -> bool:
+        with self._lock:
+            ok = self.engine.cancel(uid)
+            self._streams.pop(uid, None)
+            self._stream_reqs.pop(uid, None)
+            self._sent.pop(uid, None)
+            self._events.pop(uid, None)
+        return ok
+
+    # ------------------------------------------------------------ stats
+
+    def metrics(self) -> dict:
+        with self._lock:
+            active = int(self.engine._active_mask().sum())
+            queued = len(self.engine.queue)
+            pool = getattr(self.engine, "pool", None)
+            prefix = (
+                {"prefix_cache_hits": pool.hits,
+                 "pages_available": pool.available,
+                 "pages_cached": len(pool.lru)}
+                if pool is not None else {}
+            )
+        dt = max(time.time() - self.stats["started"], 1e-9)
+        return {
+            "requests": self.stats["requests"],
+            "generated_tokens": self.stats["generated_tokens"],
+            "prompt_tokens": self.stats["prompt_tokens"],
+            "tokens_per_second": self.stats["generated_tokens"] / dt,
+            "active": active, "queued": queued,
+            "uptime_s": dt, **prefix,
+        }
+
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)
 
 
+def _chat_to_prompt(messages: List[dict]) -> str:
+    """OpenAI chat messages -> ChatML prompt (data/chat.py format)."""
+    from aria_tpu.data.chat import build_inference_prompt
+
+    norm = []
+    for m in messages:
+        content = m.get("content", "")
+        if isinstance(content, str):
+            content = [{"type": "text", "text": content}]
+        norm.append({"role": m["role"], "content": content})
+    return build_inference_prompt(norm)
+
+
 def make_handler(loop: ServingLoop):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -101,32 +223,152 @@ def make_handler(loop: ServingLoop):
             self.end_headers()
             self.wfile.write(body)
 
+        def _sse(self, events):
+            """events: iterator of json-able dicts; closes with [DONE]."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for ev in events:
+                    self.wfile.write(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up; the generator's finally cancels
+
+        # -------------------------------------------------------- GET
+
         def do_GET(self):
             if self.path == "/health":
                 with loop._lock:
                     active = int(loop.engine._active_mask().sum())
                     queued = len(loop.engine.queue)
                 self._json(200, {"status": "ok", "active": active, "queued": queued})
+            elif self.path == "/metrics":
+                self._json(200, loop.metrics())
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": MODEL_ID, "object": "model", "owned_by": "aria-tpu"}
+                ]})
             else:
                 self._json(404, {"error": "not found"})
 
+        # -------------------------------------------------------- POST
+
+        def _read_payload(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"{}")
+
+        def _stream_text(self, prompt, max_new, temperature):
+            """Shared incremental detokenizer for both streaming APIs: yields
+            (delta_text, token_ids) per decode chunk."""
+            uid, deltas = loop.submit_stream(prompt, max_new, temperature)
+            toks: List[int] = []
+            sent_text = ""
+            stopped = False
+            for chunk in deltas:
+                if stopped:
+                    continue  # drain
+                toks.extend(chunk)
+                text = loop.tokenizer.decode(toks)
+                if "<|im_end|>" in text:
+                    text = text.split("<|im_end|>")[0]
+                    stopped = True
+                if text.startswith(sent_text):
+                    delta, sent_text = text[len(sent_text):], text
+                else:  # detokenizer retracted (partial multibyte): resend all
+                    delta, sent_text = text, text
+                if delta or chunk:
+                    yield delta, list(chunk)
+
         def do_POST(self):
-            if self.path != "/generate":
-                self._json(404, {"error": "not found"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
-                result = loop.submit_and_wait(
-                    payload["prompt"],
-                    max_new_tokens=int(payload.get("max_new_tokens", 256)),
-                    temperature=payload.get("temperature"),
-                )
-                self._json(200, result)
+                payload = self._read_payload()
+                if self.path == "/generate":
+                    self._generate(payload)
+                elif self.path == "/v1/completions":
+                    self._oai_completions(payload, chat=False)
+                elif self.path == "/v1/chat/completions":
+                    self._oai_completions(payload, chat=True)
+                else:
+                    self._json(404, {"error": "not found"})
             except KeyError as e:
                 self._json(400, {"error": f"missing field {e}"})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _generate(self, payload):
+            prompt = payload["prompt"]
+            max_new = int(payload.get("max_new_tokens", 256))
+            temp = payload.get("temperature")
+            if payload.get("stream"):
+                self._sse(
+                    {"text": d, "tokens": t}
+                    for d, t in self._stream_text(prompt, max_new, temp)
+                )
+                return
+            self._json(200, loop.submit_and_wait(prompt, max_new, temp))
+
+        def _oai_completions(self, payload, *, chat: bool):
+            if chat:
+                prompt = _chat_to_prompt(payload["messages"])
+            else:
+                prompt = payload["prompt"]
+            max_new = int(payload.get("max_tokens", payload.get("max_new_tokens", 256)))
+            temp = payload.get("temperature")
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
+            created = int(time.time())
+            obj = "chat.completion" if chat else "text_completion"
+
+            if payload.get("stream"):
+                def events():
+                    if chat:  # role handshake chunk, per the OpenAI protocol
+                        yield {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": MODEL_ID,
+                            "choices": [{"index": 0, "delta": {"role": "assistant"},
+                                         "finish_reason": None}],
+                        }
+                    for delta, _toks in self._stream_text(prompt, max_new, temp):
+                        choice = (
+                            {"index": 0, "delta": {"content": delta},
+                             "finish_reason": None}
+                            if chat else
+                            {"index": 0, "text": delta, "finish_reason": None}
+                        )
+                        yield {"id": rid, "object": obj + (".chunk" if chat else ""),
+                               "created": created, "model": MODEL_ID,
+                               "choices": [choice]}
+                    final = (
+                        {"index": 0, "delta": {}, "finish_reason": "stop"}
+                        if chat else
+                        {"index": 0, "text": "", "finish_reason": "stop"}
+                    )
+                    yield {"id": rid, "object": obj + (".chunk" if chat else ""),
+                           "created": created, "model": MODEL_ID,
+                           "choices": [final]}
+
+                self._sse(events())
+                return
+
+            result = loop.submit_and_wait(prompt, max_new, temp)
+            n_prompt = len(loop.tokenizer.encode(prompt))
+            usage = {"prompt_tokens": n_prompt,
+                     "completion_tokens": len(result["tokens"]),
+                     "total_tokens": n_prompt + len(result["tokens"])}
+            finish = "length" if len(result["tokens"]) >= max_new else "stop"
+            choice = (
+                {"index": 0, "finish_reason": finish,
+                 "message": {"role": "assistant", "content": result["text"]}}
+                if chat else
+                {"index": 0, "finish_reason": finish, "text": result["text"]}
+            )
+            self._json(200, {"id": rid, "object": obj, "created": created,
+                             "model": MODEL_ID, "choices": [choice],
+                             "usage": usage})
 
     return Handler
 

@@ -368,6 +368,27 @@ class BatchedEngine:
             self._finished.append(req)
         self.lane_req[lane] = None
 
+    def cancel(self, uid: int) -> bool:
+        """Abort a queued or running request; frees its lane immediately
+        (vLLM abort_request parity — used by the HTTP front end on client
+        disconnect/timeout so abandoned requests stop burning decode steps)."""
+        for r in self.queue:
+            if r.uid == uid:
+                self.queue.remove(r)
+                r.done = True
+                r.error = "cancelled"
+                self._finished.append(r)
+                return True
+        for lane, r in enumerate(self.lane_req):
+            if r is not None and r.uid == uid:
+                self._pending_first = [
+                    e for e in self._pending_first if e[1].uid != uid
+                ]
+                r.error = "cancelled"
+                self._finish(lane)
+                return True
+        return False
+
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.lane_req], bool)
 
@@ -724,6 +745,26 @@ class PagedBatchedEngine:
         self.lane_req[lane] = None
         self.lane_state[lane] = None
         self.lane_embeds[lane] = None
+
+    def cancel(self, uid: int) -> bool:
+        """Abort a queued or running request, recycling its pages (see
+        BatchedEngine.cancel)."""
+        for r in self.queue:
+            if r.uid == uid:
+                self.queue.remove(r)
+                r.done = True
+                r.error = "cancelled"
+                self._finished.append(r)
+                return True
+        for lane, r in enumerate(self.lane_req):
+            if r is not None and r.uid == uid:
+                self._pending_first = [
+                    e for e in self._pending_first if e[1].uid != uid
+                ]
+                r.error = "cancelled"
+                self._finish(lane)
+                return True
+        return False
 
     def _decode_mask(self) -> np.ndarray:
         return np.asarray([s == self.DECODE for s in self.lane_state], bool)

@@ -74,3 +74,103 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 400
+
+    def test_metrics(self, server):
+        post(server, {"prompt": "metrics probe", "max_new_tokens": 3})
+        with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+            data = json.loads(r.read())
+        assert data["requests"] >= 1
+        assert data["generated_tokens"] >= 1
+        assert data["tokens_per_second"] > 0
+
+
+def sse_events(url, path, payload, timeout=120):
+    """POST and parse a text/event-stream response into json events."""
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                break
+            events.append(json.loads(body))
+    return events
+
+
+class TestStreaming:
+    def test_generate_stream_matches_nonstream(self, server):
+        plain = post(server, {"prompt": "stream me", "max_new_tokens": 6,
+                              "temperature": 0.0})
+        events = sse_events(server, "/generate",
+                            {"prompt": "stream me", "max_new_tokens": 6,
+                             "temperature": 0.0, "stream": True})
+        toks = [t for ev in events for t in ev["tokens"]]
+        text = "".join(ev["text"] for ev in events)
+        assert toks[: len(plain["tokens"])] == plain["tokens"]
+        assert text.startswith(plain["text"]) or plain["text"].startswith(text)
+
+    def test_stream_delivers_incrementally(self, server):
+        """Tokens must arrive across multiple events (per decode chunk),
+        not one blob at the end (decode_chunk=4 < max_new_tokens=12)."""
+        events = sse_events(server, "/generate",
+                            {"prompt": "incremental", "max_new_tokens": 12,
+                             "temperature": 0.0, "stream": True})
+        assert len(events) >= 2
+
+
+class TestOpenAICompat:
+    def test_models(self, server):
+        with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
+            data = json.loads(r.read())
+        assert data["data"][0]["id"] == "aria-tpu"
+
+    def test_completions(self, server):
+        req = urllib.request.Request(
+            server + "/v1/completions",
+            data=json.dumps({"model": "aria-tpu", "prompt": "hello",
+                             "max_tokens": 4, "temperature": 0.0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            data = json.loads(r.read())
+        assert data["object"] == "text_completion"
+        assert data["choices"][0]["finish_reason"] in ("stop", "length")
+        assert data["usage"]["completion_tokens"] >= 1
+        assert isinstance(data["choices"][0]["text"], str)
+
+    def test_chat_completions(self, server):
+        req = urllib.request.Request(
+            server + "/v1/chat/completions",
+            data=json.dumps({
+                "model": "aria-tpu",
+                "messages": [{"role": "user", "content": "hi there"}],
+                "max_tokens": 4, "temperature": 0.0,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            data = json.loads(r.read())
+        assert data["object"] == "chat.completion"
+        msg = data["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+    def test_chat_completions_stream(self, server):
+        events = sse_events(server, "/v1/chat/completions", {
+            "model": "aria-tpu",
+            "messages": [{"role": "user", "content": "stream chat"}],
+            "max_tokens": 6, "temperature": 0.0, "stream": True,
+        })
+        assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert events[-1]["choices"][0]["finish_reason"] == "stop"
+        content = "".join(
+            ev["choices"][0]["delta"].get("content", "") for ev in events
+        )
+        assert isinstance(content, str)
+        assert all(ev["object"] == "chat.completion.chunk" for ev in events)

@@ -116,6 +116,23 @@ class TestBatchedEngine:
         assert len(finished) == 1
         assert finished[0].error is not None
 
+    def test_cancel_queued_and_running(self):
+        params = make_params()
+        srv = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=128,
+                            temperature=0.0, decode_chunk=2, cache_dtype=jnp.float32)
+        running = srv.submit([5, 17, 3], max_new_tokens=50)
+        queued = srv.submit([9, 9, 9], max_new_tokens=50)  # no free lane
+        srv.step()  # admits `running`, decodes one chunk
+        assert srv.cancel(queued) and srv.cancel(running)
+        finished = srv.run_until_complete()
+        by_uid = {r.uid: r for r in finished}
+        assert by_uid[queued].error == "cancelled"
+        assert by_uid[running].error == "cancelled"
+        assert srv.lane_req[0] is None  # lane freed immediately
+        ok = srv.submit([4, 4], max_new_tokens=3)
+        (f,) = srv.run_until_complete()
+        assert f.uid == ok and len(f.generated) == 3
+
     def test_stop_tokens_respected(self):
         params = make_params()
         single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
@@ -195,6 +212,16 @@ class TestPagedEngine:
         srv.submit([3] * 100, max_new_tokens=100)
         finished = srv.run_until_complete()
         assert finished[0].error is not None
+
+    def test_cancel_releases_pages(self):
+        params = make_params()
+        srv = self._paged(params, max_lanes=1)
+        avail0 = srv.pool.available
+        uid = srv.submit([3] * 60, max_new_tokens=50)
+        srv.step()  # admit + some decode
+        assert srv.cancel(uid)
+        srv.run_until_complete()
+        assert srv.pool.available == avail0  # pages recycled (or LRU-parked)
 
 
 class TestPrefixCache:
