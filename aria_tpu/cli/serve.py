@@ -20,13 +20,18 @@ def main(argv=None):
     ap.add_argument("--top-k", type=int, default=200)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged-KV engine: shared page pool + chunked prefill "
+                    "+ automatic prefix caching (mixed/long prompts)")
+    ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--no-prefix-cache", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
 
     from aria_tpu.cli.infer import load_model_and_tokenizer
     from aria_tpu.engine.http_server import serve
-    from aria_tpu.engine.server import BatchedEngine
+    from aria_tpu.engine.server import BatchedEngine, PagedBatchedEngine
     from aria_tpu.ops.quant import fuse_shared_experts, quantize_params
 
     ns = argparse.Namespace(
@@ -37,10 +42,17 @@ def main(argv=None):
     if not args.bf16 and not args.tiny:
         params = jax.jit(quantize_params, donate_argnums=0)(params)
     params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
-    engine = BatchedEngine(
-        params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
-        temperature=args.temperature, top_k=args.top_k,
-    )
+    if args.paged:
+        engine = PagedBatchedEngine(
+            params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
+            page_size=args.page_size, temperature=args.temperature,
+            top_k=args.top_k, prefix_cache=not args.no_prefix_cache,
+        )
+    else:
+        engine = BatchedEngine(
+            params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
+            temperature=args.temperature, top_k=args.top_k,
+        )
     serve(engine, tokenizer, host=args.host, port=args.port)
 
 
