@@ -25,6 +25,9 @@ def main(argv=None):
                     "+ automatic prefix caching (mixed/long prompts)")
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--no-prefix-cache", action="store_true")
+    ap.add_argument("--json-mode", action="store_true",
+                    help="compile a JSON-grammar TokenFSM so requests with "
+                    "response_format={'type':'json_object'} decode constrained")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,6 +45,14 @@ def main(argv=None):
     if not args.bf16 and not args.tiny:
         params = jax.jit(quantize_params, donate_argnums=0)(params)
     params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+    fsm = None
+    if args.json_mode:
+        if args.paged:
+            raise SystemExit("--json-mode requires the contiguous engine")
+        from aria_tpu.engine.guided import json_fsm
+
+        fsm = json_fsm(tokenizer, [tokenizer.eos_token_id],
+                       vocab_size=cfg.text.vocab_size)
     if args.paged:
         engine = PagedBatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
@@ -51,7 +62,7 @@ def main(argv=None):
     else:
         engine = BatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
-            temperature=args.temperature, top_k=args.top_k,
+            temperature=args.temperature, top_k=args.top_k, guided_fsm=fsm,
         )
     serve(engine, tokenizer, host=args.host, port=args.port)
 

@@ -67,6 +67,11 @@ class ByteTokenizer:
                 i += 1
         return ids
 
+    def token_bytes(self, tid: int) -> "bytes | None":
+        """Exact byte string of one token (None for specials/pad) — the
+        byte-level map guided decoding lifts its DFA over (engine/guided.py)."""
+        return bytes([tid]) if tid < 256 else None
+
     def decode(self, ids: Sequence[int]) -> str:
         out: List[str] = []
         buf = bytearray()

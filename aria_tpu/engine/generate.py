@@ -35,6 +35,10 @@ class GenerationConfig:
     top_k: Optional[int] = 200
     stop_token_ids: tuple[int, ...] = ()
     decode_chunk: int = 32
+    # Constrained decoding (engine/guided.py): a TokenFSM compiled from a
+    # regex or the JSON grammar. Applied as a gather+mask inside the jitted
+    # decode scan — no per-step host sync.
+    guided: Optional[object] = None  # TokenFSM
 
 
 @dataclasses.dataclass
@@ -119,13 +123,13 @@ class Engine:
 
     # ---------------- jitted building blocks ----------------
 
-    def _prefill_fn(self, has_image: bool):
+    def _prefill_fn(self, has_image: bool, guided: bool = False):
         cfg = self.cfg
         mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnames=("temperature", "top_k"), donate_argnums=(2,))
         def prefill(params, tokens, cache, true_len, rng, pixel_values=None,
-                    pixel_mask=None, *, temperature, top_k):
+                    pixel_mask=None, fsm=None, gstate=None, *, temperature, top_k):
             B, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
             kv_pos = jnp.arange(cache.k.shape[3])
@@ -139,7 +143,14 @@ class Engine:
                 causal_flash=True,  # prefill-from-0: flash over the prompt block
                 mesh=mesh,
             )
-            next_tok = sample(rng, out.logits[:, 0], temperature, top_k)
+            logits = out.logits[:, 0]
+            if guided:
+                from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                logits = guided_mask(*fsm, gstate, logits)
+                next_tok = sample(rng, logits, temperature, top_k)
+                return next_tok, out.cache, guided_next_state(fsm[0], gstate, next_tok)
+            next_tok = sample(rng, logits, temperature, top_k)
             return next_tok, out.cache
 
         return prefill
@@ -175,6 +186,41 @@ class Engine:
 
         return decode_n
 
+    @functools.cached_property
+    def _decode_chunk_guided_jit(self):
+        cfg = self.cfg
+        mesh = self.mesh
+        from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
+        )
+        def decode_n(params, first_token, cache, start_pos, rng, fsm, gstate,
+                     *, n_steps, temperature, top_k):
+            kv_pos = jnp.arange(cache.k.shape[3])
+
+            def step(carry, i):
+                tok, cache, pos, gstate = carry
+                step_rng = jax.random.fold_in(rng, i)
+                mask = (kv_pos <= pos)[None, None, None, :]
+                out = lm_forward(
+                    params["lm"], cfg.text, tok[:, None],
+                    positions=pos[None], mask=mask,
+                    cache=cache, cache_pos=pos,
+                    mesh=mesh,
+                )
+                logits = guided_mask(*fsm, gstate, out.logits[:, -1])
+                nxt = sample(step_rng, logits, temperature, top_k)
+                gstate = guided_next_state(fsm[0], gstate, nxt)
+                return (nxt, out.cache, pos + 1, gstate), nxt
+
+            (_, cache, _, gstate), toks = jax.lax.scan(
+                step, (first_token, cache, start_pos, gstate), jnp.arange(n_steps)
+            )
+            return toks, cache, gstate
+
+        return decode_n
+
     # ---------------- public API ----------------
 
     def new_cache(self, batch: int = 1) -> KVCache:
@@ -203,9 +249,11 @@ class Engine:
         tokens[0, :true_len] = prompt_tokens
 
         has_image = pixel_values is not None
-        key = (has_image, bucket, None if pixel_values is None else pixel_values.shape)
+        guided = gen.guided is not None
+        key = (has_image, bucket,
+               None if pixel_values is None else pixel_values.shape, guided)
         if key not in self._prefill_jit:
-            self._prefill_jit[key] = self._prefill_fn(has_image)
+            self._prefill_jit[key] = self._prefill_fn(has_image, guided)
         prefill = self._prefill_jit[key]
 
         self._rng, rng_p = jax.random.split(self._rng)
@@ -213,15 +261,19 @@ class Engine:
 
         t0 = time.perf_counter()
         kwargs = dict(temperature=gen.temperature, top_k=gen.top_k)
+        if guided:
+            fsm = (gen.guided.trans, gen.guided.accepting, gen.guided.stop_mask)
+            kwargs.update(fsm=fsm, gstate=jnp.full((1,), gen.guided.start, jnp.int32))
         if has_image:
-            next_tok, cache = prefill(
+            next_tok, cache, *gst = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p,
                 jnp.asarray(pixel_values), jnp.asarray(pixel_mask), **kwargs,
             )
         else:
-            next_tok, cache = prefill(
+            next_tok, cache, *gst = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p, **kwargs,
             )
+        gstate = gst[0] if guided else None
         first = int(next_tok[0])  # blocks until prefill done
         t1 = time.perf_counter()
 
@@ -243,10 +295,17 @@ class Engine:
             if not stopped and planned < gen.max_new_tokens:
                 n = min(gen.decode_chunk, gen.max_new_tokens - planned)
                 self._rng, rng_d = jax.random.split(self._rng)
-                toks, cache = self._decode_chunk_jit(
-                    self.params, cur, cache, jnp.int32(pos), rng_d,
-                    n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
-                )
+                if guided:
+                    toks, cache, gstate = self._decode_chunk_guided_jit(
+                        self.params, cur, cache, jnp.int32(pos), rng_d,
+                        fsm, gstate,
+                        n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
+                    )
+                else:
+                    toks, cache = self._decode_chunk_jit(
+                        self.params, cur, cache, jnp.int32(pos), rng_d,
+                        n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
+                    )
                 nxt = toks
                 planned += n
                 pos += n

@@ -96,7 +96,7 @@ class ServingLoop:
     # ------------------------------------------------------------ submit
 
     def _submit(self, prompt: str, max_new_tokens: int,
-                temperature: Optional[float]):
+                temperature: Optional[float], guided: bool = False):
         out = self.processor(prompt, max_image_size=self.max_image_size)
         stop_ids = tuple(
             t for t in [getattr(self.tokenizer, "eos_token_id", None)]
@@ -104,16 +104,16 @@ class ServingLoop:
         )
         uid = self.engine.submit(
             out.input_ids[0].tolist(), max_new_tokens=max_new_tokens,
-            stop_token_ids=stop_ids, temperature=temperature,
+            stop_token_ids=stop_ids, temperature=temperature, guided=guided,
         )
         return uid, self.engine.queue[-1]
 
     def submit_and_wait(self, prompt: str, max_new_tokens: int = 256,
                         temperature: Optional[float] = None,
-                        timeout: float = 600.0):
+                        timeout: float = 600.0, guided: bool = False):
         ev = threading.Event()
         with self._lock:
-            uid, _ = self._submit(prompt, max_new_tokens, temperature)
+            uid, _ = self._submit(prompt, max_new_tokens, temperature, guided)
             self._events[uid] = ev
         if not ev.wait(timeout):
             with self._lock:
@@ -132,11 +132,11 @@ class ServingLoop:
 
     def submit_stream(self, prompt: str, max_new_tokens: int = 256,
                       temperature: Optional[float] = None,
-                      timeout: float = 600.0):
+                      timeout: float = 600.0, guided: bool = False):
         """Returns (uid, iterator of per-chunk token-id lists)."""
         q: queue_mod.Queue = queue_mod.Queue()
         with self._lock:
-            uid, req = self._submit(prompt, max_new_tokens, temperature)
+            uid, req = self._submit(prompt, max_new_tokens, temperature, guided)
             self._streams[uid] = q
             self._stream_reqs[uid] = req
             self._sent[uid] = 0
@@ -262,10 +262,11 @@ def make_handler(loop: ServingLoop):
             length = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(length) or b"{}")
 
-        def _stream_text(self, prompt, max_new, temperature):
+        def _stream_text(self, prompt, max_new, temperature, guided=False):
             """Shared incremental detokenizer for both streaming APIs: yields
             (delta_text, token_ids) per decode chunk."""
-            uid, deltas = loop.submit_stream(prompt, max_new, temperature)
+            uid, deltas = loop.submit_stream(prompt, max_new, temperature,
+                                             guided=guided)
             toks: List[int] = []
             sent_text = ""
             stopped = False
@@ -319,6 +320,9 @@ def make_handler(loop: ServingLoop):
                 prompt = payload["prompt"]
             max_new = int(payload.get("max_tokens", payload.get("max_new_tokens", 256)))
             temp = payload.get("temperature")
+            guided = (
+                payload.get("response_format", {}).get("type") == "json_object"
+            )
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -332,7 +336,8 @@ def make_handler(loop: ServingLoop):
                             "choices": [{"index": 0, "delta": {"role": "assistant"},
                                          "finish_reason": None}],
                         }
-                    for delta, _toks in self._stream_text(prompt, max_new, temp):
+                    for delta, _toks in self._stream_text(prompt, max_new, temp,
+                                                          guided=guided):
                         choice = (
                             {"index": 0, "delta": {"content": delta},
                              "finish_reason": None}
@@ -354,7 +359,7 @@ def make_handler(loop: ServingLoop):
                 self._sse(events())
                 return
 
-            result = loop.submit_and_wait(prompt, max_new, temp)
+            result = loop.submit_and_wait(prompt, max_new, temp, guided=guided)
             n_prompt = len(loop.tokenizer.encode(prompt))
             usage = {"prompt_tokens": n_prompt,
                      "completion_tokens": len(result["tokens"]),

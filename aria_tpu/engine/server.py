@@ -42,6 +42,7 @@ class Request:
     pixel_values: Optional[np.ndarray] = None
     pixel_mask: Optional[np.ndarray] = None
     temperature: Optional[float] = None  # None = engine default
+    guided: bool = False  # constrain output with the engine's TokenFSM
     # filled by the server
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -63,8 +64,12 @@ class BatchedEngine:
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
         mesh=None,  # multi-chip serving: TP/EP-shard params over this mesh
+        guided_fsm=None,  # TokenFSM (engine/guided.py): requests submitted
+        #                   with guided=True decode under this constraint;
+        #                   others ride its transparent free state
     ):
         self.cfg = cfg
+        self.guided_fsm = guided_fsm
         self.B = max_lanes
         # 128 = the decode-attention kernel's minimum S block; finer rounding
         # matters at high lane counts (96 lanes x an extra 128 positions of
@@ -105,6 +110,10 @@ class BatchedEngine:
         # it directly — no host round trip per admitted request
         self.lane_tok = jnp.zeros(self.B, jnp.int32)
         self.lane_temp = np.full(self.B, temperature, np.float32)  # per-lane sampling
+        self.lane_gstate = (
+            jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
+            if guided_fsm is not None else None
+        )
         self.queue: Deque[Request] = deque()
         self._uid = 0
         self._prefill_jit: Dict = {}
@@ -118,9 +127,11 @@ class BatchedEngine:
     def _make_prefill(self):
         cfg = self.cfg
         mesh = self.mesh
+        guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
-        def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0, pixel_values=None, pixel_mask=None):
+        def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0,
+                    fsm=None, gstate=None, pixel_values=None, pixel_mask=None):
             _, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
             # Slice ALL cache leaves (k, v and — for int8 caches — the fp32
@@ -143,7 +154,14 @@ class BatchedEngine:
                 lambda full, ln: jax.lax.dynamic_update_slice_in_dim(full, ln, lane, axis=1),
                 cache, out.cache,
             )
-            tok = sample(rng, out.logits[:, 0], jnp.full((1,), temp, jnp.float32), self.top_k)
+            logits = out.logits[:, 0]
+            if guided:
+                from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                logits = guided_mask(*fsm, gstate, logits)
+            tok = sample(rng, logits, jnp.full((1,), temp, jnp.float32), self.top_k)
+            if guided:
+                return tok[0], new_cache, guided_next_state(fsm[0], gstate, tok)[0]
             return tok[0], new_cache
 
         return prefill
@@ -156,9 +174,11 @@ class BatchedEngine:
         full-model sweeps to O(1)."""
         cfg = self.cfg
         mesh = self.mesh
+        guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps):
+        def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps,
+                          fsm=None, gstates=None):
             N, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, None, None)
             # A prefill-from-0 never READS pre-existing lane state (the causal
@@ -183,7 +203,14 @@ class BatchedEngine:
             new_cache = jax.tree.map(
                 lambda full, ln: full.at[:, lanes, :, :S].set(ln), cache, out.cache
             )
-            toks = sample(rng, out.logits[:, 0], temps, self.top_k)
+            logits = out.logits[:, 0]
+            if guided:
+                from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                logits = guided_mask(*fsm, gstates, logits)
+            toks = sample(rng, logits, temps, self.top_k)
+            if guided:
+                return toks, new_cache, guided_next_state(fsm[0], gstates, toks)
             return toks, new_cache
 
         return prefill_multi
@@ -192,13 +219,15 @@ class BatchedEngine:
     def _decode_jit(self):
         cfg = self.cfg
         mesh = self.mesh
+        guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
-        def decode_n(params, toks, cache, pos, active, temps, rng, *, n_steps):
+        def decode_n(params, toks, cache, pos, active, temps, rng,
+                     fsm=None, gstate=None, *, n_steps):
             kv_pos = jnp.arange(cache.k.shape[3])
 
             def step(carry, i):
-                toks, cache, pos = carry
+                toks, cache, pos, gstate = carry
                 step_rng = jax.random.fold_in(rng, i)
                 mask = (kv_pos[None, :] <= pos[:, None])[:, None, None, :]  # [B,1,1,S]
                 out = lm_forward(
@@ -207,15 +236,25 @@ class BatchedEngine:
                     cache=cache, cache_pos=pos,
                     mesh=mesh,
                 )
-                nxt = sample(step_rng, out.logits[:, -1], temps, self.top_k)
+                logits = out.logits[:, -1]
+                if guided:
+                    from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                    logits = guided_mask(*fsm, gstate, logits)
+                nxt = sample(step_rng, logits, temps, self.top_k)
+                if guided:
+                    gstate = jnp.where(
+                        active, guided_next_state(fsm[0], gstate, nxt), gstate
+                    )
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
-                return (nxt, out.cache, pos), nxt
+                return (nxt, out.cache, pos, gstate), nxt
 
-            (toks, cache, pos), all_toks = jax.lax.scan(
-                step, (toks, cache, pos), jnp.arange(n_steps)
+            gstate0 = gstate if guided else jnp.zeros((), jnp.int32)
+            (toks, cache, pos, gstate), all_toks = jax.lax.scan(
+                step, (toks, cache, pos, gstate0), jnp.arange(n_steps)
             )
-            return all_toks, toks, cache, pos  # all_toks: [n_steps, B]
+            return all_toks, toks, cache, pos, gstate  # all_toks: [n_steps, B]
 
         return decode_n
 
@@ -229,15 +268,22 @@ class BatchedEngine:
         pixel_values: Optional[np.ndarray] = None,
         pixel_mask: Optional[np.ndarray] = None,
         temperature: Optional[float] = None,
+        guided: bool = False,
     ) -> int:
+        if guided and self.guided_fsm is None:
+            raise ValueError("engine was built without a guided_fsm")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask,
-            temperature=temperature,
+            temperature=temperature, guided=guided,
         ))
         return self._uid
+
+    def _fsm_args(self):
+        f = self.guided_fsm
+        return (f.trans, f.accepting, f.stop_mask)
 
     def _free_lane(self) -> Optional[int]:
         for i, r in enumerate(self.lane_req):
@@ -302,11 +348,21 @@ class BatchedEngine:
         if key not in self._prefill_jit:
             self._prefill_jit[key] = self._make_prefill_multi()
         self._rng, rng = jax.random.split(self._rng)
-        toks, self.cache = self._prefill_jit[key](
-            self.params, jnp.asarray(tokens), self.cache,
-            jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
-            jnp.asarray(temps),
-        )
+        args = (self.params, jnp.asarray(tokens), self.cache,
+                jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
+                jnp.asarray(temps))
+        if self.guided_fsm is not None:
+            f = self.guided_fsm
+            g0 = np.full(Np, f.free_state, np.int32)
+            for row, i in enumerate(rows):
+                if group[i].guided:
+                    g0[row] = f.start
+            toks, self.cache, new_g = self._prefill_jit[key](
+                *args, fsm=self._fsm_args(), gstates=jnp.asarray(g0))
+            self.lane_gstate = self.lane_gstate.at[
+                jnp.asarray(lanes_arr[:N])].set(new_g[:N])
+        else:
+            toks, self.cache = self._prefill_jit[key](*args)
         # Scatter only the N real rows: pad rows repeat lane N-1's id but draw
         # independent gumbel noise, so a duplicate-index scatter would leave a
         # nondeterministic winner in that lane (device token could diverge from
@@ -345,10 +401,20 @@ class BatchedEngine:
             kwargs = dict(pixel_values=jnp.asarray(req.pixel_values),
                           pixel_mask=jnp.asarray(req.pixel_mask))
         req_temp = self.temperature if req.temperature is None else req.temperature
-        tok, self.cache = prefill(
-            self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len), rng,
-            lane, jnp.float32(req_temp), **kwargs,
-        )
+        if self.guided_fsm is not None:
+            f = self.guided_fsm
+            g0 = jnp.full((1,), f.start if req.guided else f.free_state, jnp.int32)
+            tok, self.cache, g1 = prefill(
+                self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len),
+                rng, lane, jnp.float32(req_temp),
+                fsm=self._fsm_args(), gstate=g0, **kwargs,
+            )
+            self.lane_gstate = self.lane_gstate.at[lane].set(g1)
+        else:
+            tok, self.cache = prefill(
+                self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len),
+                rng, lane, jnp.float32(req_temp), **kwargs,
+            )
         # Do NOT sync the first token here: a blocking read per admission
         # costs a full relay round trip (~90 ms measured at 32 lanes — it was
         # 60% of the aggregate-throughput bench). The device scalar is
@@ -367,6 +433,9 @@ class BatchedEngine:
             req.done = True
             self._finished.append(req)
         self.lane_req[lane] = None
+        if self.guided_fsm is not None:
+            self.lane_gstate = self.lane_gstate.at[lane].set(
+                self.guided_fsm.free_state)
 
     def cancel(self, uid: int) -> bool:
         """Abort a queued or running request; frees its lane immediately
@@ -402,12 +471,18 @@ class BatchedEngine:
             return out
 
         self._rng, rng = jax.random.split(self._rng)
-        all_toks, last, self.cache, pos = self._decode_jit(
+        gkw = (
+            dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
+            if self.guided_fsm is not None else {}
+        )
+        all_toks, last, self.cache, pos, gstate = self._decode_jit(
             self.params, self.lane_tok, self.cache,
             jnp.asarray(self.lane_pos), jnp.asarray(active),
-            jnp.asarray(self.lane_temp), rng,
+            jnp.asarray(self.lane_temp), rng, **gkw,
             n_steps=self.decode_chunk,
         )
+        if self.guided_fsm is not None:
+            self.lane_gstate = gstate
         toks_host = np.asarray(all_toks)  # [n, B] — the one sync per chunk
         self.lane_pos = np.array(pos)  # copy: np.asarray of a jax array is read-only
         self.lane_tok = last
@@ -590,7 +665,11 @@ class PagedBatchedEngine:
 
     def submit(self, prompt_tokens: Sequence[int], max_new_tokens: int = 256,
                stop_token_ids: Sequence[int] = (), pixel_values=None,
-               pixel_mask=None, temperature: Optional[float] = None) -> int:
+               pixel_mask=None, temperature: Optional[float] = None,
+               guided: bool = False) -> int:
+        if guided:
+            raise ValueError("guided decoding: use BatchedEngine (paged engine "
+                             "support pending)")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
