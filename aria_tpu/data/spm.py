@@ -288,6 +288,21 @@ class SentencePieceTokenizer:
             ids.extend(self._segment(norm))
         return ids
 
+    def token_bytes(self, tid: int) -> Optional[bytes]:
+        """Exact byte string one token contributes to detokenized text (the
+        map guided decoding lifts its DFA over, engine/guided.py). Pieces
+        keep their sentencepiece leading-space semantics: "▁yes" → b" yes",
+        so anchor patterns with an optional leading space (" ?(yes|no)").
+        Control/added/unknown tokens → None (forbidden under a constraint)."""
+        if tid in self.id_to_added or tid >= len(self.pieces):
+            return None
+        p, _, t = self.pieces[tid]
+        if t == BYTE and p.startswith("<0x") and p.endswith(">"):
+            return bytes([int(p[3:-1], 16)])
+        if t in (CONTROL, UNKNOWN, UNUSED):
+            return None
+        return p.replace("▁", " ").encode("utf-8") or None
+
     def decode(self, ids: Sequence[int]) -> str:
         parts: List[str] = []
         byte_buf = bytearray()

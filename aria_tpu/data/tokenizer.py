@@ -162,5 +162,18 @@ class HFTokenizer:
         # aria/data.py:88-99).
         return self._tok(text, add_special_tokens=False).input_ids
 
+    def token_bytes(self, tid: int) -> "bytes | None":
+        """Exact byte map for guided decoding (engine/guided.py): pieces keep
+        their sentencepiece leading-space semantics ("▁yes" → b" yes");
+        byte-fallback pieces map to their raw byte; specials → None."""
+        if tid in set(self._tok.all_special_ids):
+            return None
+        piece = self._tok.convert_ids_to_tokens(tid)
+        if piece is None:
+            return None
+        if piece.startswith("<0x") and piece.endswith(">") and len(piece) == 6:
+            return bytes([int(piece[3:-1], 16)])
+        return piece.replace("▁", " ").encode("utf-8") or None
+
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode(ids)

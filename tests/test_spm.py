@@ -128,3 +128,14 @@ class TestLoadTokenizer:
 
         with _pytest.raises(Exception):
             load_tokenizer(str(tmp_path / "nope"))
+
+
+class TestTokenBytes:
+    def test_guided_byte_map(self, tok):
+        ws_hello = tok.piece_to_id[WS + "hello"]
+        assert tok.token_bytes(ws_hello) == b" hello"
+        assert tok.token_bytes(tok.piece_to_id["llo"]) == b"llo"
+        assert tok.token_bytes(tok.piece_to_id["<0x41>"]) == b"A"
+        assert tok.token_bytes(tok.unk_id) is None
+        assert tok.token_bytes(tok.piece_to_id["<s>"]) is None  # control
+        assert tok.token_bytes(tok.added_tokens["<|im_end|>"]) is None
