@@ -47,8 +47,6 @@ def main(argv=None):
     params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
     fsm = None
     if args.json_mode:
-        if args.paged:
-            raise SystemExit("--json-mode requires the contiguous engine")
         from aria_tpu.engine.guided import json_fsm
 
         fsm = json_fsm(tokenizer, [tokenizer.eos_token_id],
@@ -58,6 +56,7 @@ def main(argv=None):
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
             page_size=args.page_size, temperature=args.temperature,
             top_k=args.top_k, prefix_cache=not args.no_prefix_cache,
+            guided_fsm=fsm,
         )
     else:
         engine = BatchedEngine(

@@ -561,6 +561,7 @@ class PagedBatchedEngine:
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
         prefix_cache: bool = True,
+        guided_fsm=None,  # TokenFSM: see BatchedEngine
     ):
         from aria_tpu.engine.paged import PagePool, PagedKVCache
 
@@ -589,6 +590,11 @@ class PagedBatchedEngine:
         # multiples, so the chunk grid must tile pages exactly.
         self.prefix_cache = prefix_cache and (page_size % prefill_chunk == 0)
         self.lane_keys: List[Optional[list]] = [None] * self.B
+        self.guided_fsm = guided_fsm
+        self.lane_gstate = (
+            jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
+            if guided_fsm is not None else None
+        )
 
         self.lane_req: List[Optional[Request]] = [None] * self.B
         self.lane_state = [None] * self.B  # PREFILL | DECODE | None
@@ -612,9 +618,11 @@ class PagedBatchedEngine:
     def _chunk_jit(self):
         cfg = self.cfg
         C, K = self.C, self.S
+        guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_chunk(params, embeds, cache, pt_row, offset, logit_at, temp, rng):
+        def prefill_chunk(params, embeds, cache, pt_row, offset, logit_at, temp, rng,
+                          fsm=None, gstate=None):
             # embeds: [1, C, D]; pt_row: [1, MAXP]; offset: scalar
             kv_pos = jnp.arange(K)
             qi = offset + jnp.arange(C)
@@ -626,7 +634,16 @@ class PagedBatchedEngine:
                 logit_position=jnp.clip(logit_at, 0, C - 1),
                 page_table=pt_row, causal_flash=False,
             )
-            tok = sample(rng, out.logits[:, 0], temp, self.top_k)
+            logits = out.logits[:, 0]
+            if guided:
+                from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                logits = guided_mask(*fsm, gstate, logits)
+            tok = sample(rng, logits, temp, self.top_k)
+            if guided:
+                # the host commits this state only on the COMPLETING chunk —
+                # intermediate chunks' sampled tokens are placeholders
+                return tok[0], out.cache, guided_next_state(fsm[0], gstate, tok)[0]
             return tok[0], out.cache
 
         return prefill_chunk
@@ -635,13 +652,15 @@ class PagedBatchedEngine:
     def _decode_jit(self):
         cfg = self.cfg
         K = self.S
+        guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
-        def decode_n(params, toks, cache, pt, pos, active, temps, rng, *, n_steps):
+        def decode_n(params, toks, cache, pt, pos, active, temps, rng,
+                     fsm=None, gstate=None, *, n_steps):
             kv_pos = jnp.arange(K)
 
             def step(carry, i):
-                toks, cache, pos = carry
+                toks, cache, pos, gstate = carry
                 step_rng = jax.random.fold_in(rng, i)
                 mask = (kv_pos[None, :] <= pos[:, None])[:, None, None, :]
                 out = lm_forward(
@@ -649,17 +668,31 @@ class PagedBatchedEngine:
                     positions=pos[:, None], mask=mask,
                     cache=cache, cache_pos=pos, page_table=pt,
                 )
-                nxt = sample(step_rng, out.logits[:, -1], temps, self.top_k)
+                logits = out.logits[:, -1]
+                if guided:
+                    from aria_tpu.engine.guided import guided_mask, guided_next_state
+
+                    logits = guided_mask(*fsm, gstate, logits)
+                nxt = sample(step_rng, logits, temps, self.top_k)
+                if guided:
+                    gstate = jnp.where(
+                        active, guided_next_state(fsm[0], gstate, nxt), gstate
+                    )
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
-                return (nxt, cache if out.cache is None else out.cache, pos), nxt
+                return (nxt, cache if out.cache is None else out.cache, pos, gstate), nxt
 
-            (toks, cache, pos), all_toks = jax.lax.scan(
-                step, (toks, cache, pos), jnp.arange(n_steps)
+            gstate0 = gstate if guided else jnp.zeros((), jnp.int32)
+            (toks, cache, pos, gstate), all_toks = jax.lax.scan(
+                step, (toks, cache, pos, gstate0), jnp.arange(n_steps)
             )
-            return all_toks, toks, cache, pos
+            return all_toks, toks, cache, pos, gstate
 
         return decode_n
+
+    def _fsm_args(self):
+        f = self.guided_fsm
+        return (f.trans, f.accepting, f.stop_mask)
 
     # ------------------------------------------------------------ API
 
@@ -667,14 +700,14 @@ class PagedBatchedEngine:
                stop_token_ids: Sequence[int] = (), pixel_values=None,
                pixel_mask=None, temperature: Optional[float] = None,
                guided: bool = False) -> int:
-        if guided:
-            raise ValueError("guided decoding: use BatchedEngine (paged engine "
-                             "support pending)")
+        if guided and self.guided_fsm is None:
+            raise ValueError("engine was built without a guided_fsm")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask, temperature=temperature,
+            guided=guided,
         ))
         return self._uid
 
@@ -775,12 +808,19 @@ class PagedBatchedEngine:
         true_len = int(self.lane_true_len[lane])
         embeds = jax.lax.dynamic_slice_in_dim(self.lane_embeds[lane], o, self.C, axis=1)
         self._rng, rng = jax.random.split(self._rng)
-        tok, self.cache = self._chunk_jit(
-            self.params, embeds, self.cache,
-            jnp.asarray(self.page_table[lane : lane + 1]),
-            jnp.int32(o), jnp.int32(true_len - 1 - o),
-            jnp.full((1,), self.lane_temp[lane], jnp.float32), rng,
-        )
+        args = (self.params, embeds, self.cache,
+                jnp.asarray(self.page_table[lane : lane + 1]),
+                jnp.int32(o), jnp.int32(true_len - 1 - o),
+                jnp.full((1,), self.lane_temp[lane], jnp.float32), rng)
+        if self.guided_fsm is not None:
+            f = self.guided_fsm
+            g0 = jnp.full((1,), f.start if req.guided else f.free_state, jnp.int32)
+            tok, self.cache, g1 = self._chunk_jit(*args, fsm=self._fsm_args(),
+                                                  gstate=g0)
+            if o + self.C >= true_len:  # completing chunk: commit the state
+                self.lane_gstate = self.lane_gstate.at[lane].set(g1)
+        else:
+            tok, self.cache = self._chunk_jit(*args)
         o += self.C
         self.lane_pos[lane] = o
         if o >= true_len:  # prompt fully written; sampled tok is the first token
@@ -824,6 +864,9 @@ class PagedBatchedEngine:
         self.lane_req[lane] = None
         self.lane_state[lane] = None
         self.lane_embeds[lane] = None
+        if self.guided_fsm is not None:
+            self.lane_gstate = self.lane_gstate.at[lane].set(
+                self.guided_fsm.free_state)
 
     def cancel(self, uid: int) -> bool:
         """Abort a queued or running request, recycling its pages (see
@@ -862,12 +905,18 @@ class PagedBatchedEngine:
                 active[lane] = False  # page pressure: pause this lane's decode
         if active.any():
             self._rng, rng = jax.random.split(self._rng)
-            all_toks, last, self.cache, pos = self._decode_jit(
+            gkw = (
+                dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
+                if self.guided_fsm is not None else {}
+            )
+            all_toks, last, self.cache, pos, gstate = self._decode_jit(
                 self.params, self.lane_tok, self.cache,
                 jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),
-                jnp.asarray(active), jnp.asarray(self.lane_temp), rng,
+                jnp.asarray(active), jnp.asarray(self.lane_temp), rng, **gkw,
                 n_steps=self.decode_chunk,
             )
+            if self.guided_fsm is not None:
+                self.lane_gstate = gstate
             toks_host = np.asarray(all_toks)
             new_pos = np.array(pos)
             self.lane_tok = last

@@ -268,6 +268,34 @@ class TestGuidedServer:
         assert g.generated[-1] == tok.eos_token_id
         assert tok.decode(g.generated[:-1]) in ("yes", "no", "maybe")
 
+    def test_paged_engine_guided_with_prefix_cache(self):
+        """Guided decoding composes with the paged engine's chunked prefill
+        AND prefix caching: the second identical request reuses KV pages yet
+        still decodes under the constraint."""
+        from aria_tpu.config import AriaConfig
+        from aria_tpu.data.tokenizer import ByteTokenizer
+        from aria_tpu.engine.guided import regex_fsm
+        from aria_tpu.engine.server import PagedBatchedEngine
+        from aria_tpu.models.aria import init_aria_params
+
+        cfg = AriaConfig.tiny()
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        tok = ByteTokenizer()
+        fsm = regex_fsm("(yes|no)", tok, [tok.eos_token_id],
+                        vocab_size=cfg.text.vocab_size)
+        srv = PagedBatchedEngine(params, cfg, max_lanes=1, max_seq_len=256,
+                                 page_size=32, prefill_chunk=32,
+                                 temperature=0.9, decode_chunk=4,
+                                 cache_dtype=jnp.float32, guided_fsm=fsm)
+        prompt = [7 + (i % 90) for i in range(70)]  # 3 chunks, 2 full pages
+        for expect_cached in (0, 64):
+            srv.submit(prompt, max_new_tokens=8,
+                       stop_token_ids=(tok.eos_token_id,), guided=True)
+            (f,) = srv.run_until_complete()
+            assert f.cached_tokens == expect_cached
+            assert f.generated[-1] == tok.eos_token_id
+            assert tok.decode(f.generated[:-1]) in ("yes", "no")
+
     def test_guided_submit_requires_fsm(self):
         from aria_tpu.config import AriaConfig
         from aria_tpu.engine.server import BatchedEngine
