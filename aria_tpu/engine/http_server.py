@@ -165,6 +165,10 @@ class ServingLoop:
             self._stream_reqs.pop(uid, None)
             self._sent.pop(uid, None)
             self._events.pop(uid, None)
+            # the cancelled request still flows through finished on the next
+            # tick; without a consumer it must be discarded, not stored
+            self._abandoned.add(uid)
+            self._results.pop(uid, None)
         return ok
 
     # ------------------------------------------------------------ stats
@@ -262,9 +266,13 @@ def make_handler(loop: ServingLoop):
             length = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(length) or b"{}")
 
-        def _stream_text(self, prompt, max_new, temperature, guided=False):
+        def _stream_text(self, prompt, max_new, temperature, guided=False,
+                         stop_strings=()):
             """Shared incremental detokenizer for both streaming APIs: yields
-            (delta_text, token_ids) per decode chunk."""
+            (delta_text, token_ids) per decode chunk. Stop strings truncate
+            the stream and CANCEL the request so the lane frees immediately
+            (the reference pays a per-step detokenize check instead,
+            gptfast/generate.py:324-335)."""
             uid, deltas = loop.submit_stream(prompt, max_new, temperature,
                                              guided=guided)
             toks: List[int] = []
@@ -278,12 +286,20 @@ def make_handler(loop: ServingLoop):
                 if "<|im_end|>" in text:
                     text = text.split("<|im_end|>")[0]
                     stopped = True
+                cut = min((i for i in (text.find(s) for s in stop_strings)
+                           if i >= 0), default=-1)
+                if cut >= 0:
+                    text = text[:cut]
+                    stopped = True
+                    loop.cancel(uid)
                 if text.startswith(sent_text):
                     delta, sent_text = text[len(sent_text):], text
                 else:  # detokenizer retracted (partial multibyte): resend all
                     delta, sent_text = text, text
                 if delta or chunk:
                     yield delta, list(chunk)
+                if cut >= 0:
+                    return
 
         def do_POST(self):
             try:
@@ -301,17 +317,29 @@ def make_handler(loop: ServingLoop):
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
+        @staticmethod
+        def _stops(payload) -> tuple:
+            s = payload.get("stop") or ()
+            return (s,) if isinstance(s, str) else tuple(s)
+
         def _generate(self, payload):
             prompt = payload["prompt"]
             max_new = int(payload.get("max_new_tokens", 256))
             temp = payload.get("temperature")
+            stops = self._stops(payload)
             if payload.get("stream"):
                 self._sse(
                     {"text": d, "tokens": t}
-                    for d, t in self._stream_text(prompt, max_new, temp)
+                    for d, t in self._stream_text(prompt, max_new, temp,
+                                                  stop_strings=stops)
                 )
                 return
-            self._json(200, loop.submit_and_wait(prompt, max_new, temp))
+            result = loop.submit_and_wait(prompt, max_new, temp)
+            cut = min((i for i in (result["text"].find(s) for s in stops)
+                       if i >= 0), default=-1)
+            if cut >= 0:
+                result["text"] = result["text"][:cut]
+            self._json(200, result)
 
         def _oai_completions(self, payload, *, chat: bool):
             if chat:
@@ -323,6 +351,7 @@ def make_handler(loop: ServingLoop):
             guided = (
                 payload.get("response_format", {}).get("type") == "json_object"
             )
+            stops = self._stops(payload)
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -337,7 +366,8 @@ def make_handler(loop: ServingLoop):
                                          "finish_reason": None}],
                         }
                     for delta, _toks in self._stream_text(prompt, max_new, temp,
-                                                          guided=guided):
+                                                          guided=guided,
+                                                          stop_strings=stops):
                         choice = (
                             {"index": 0, "delta": {"content": delta},
                              "finish_reason": None}
@@ -360,11 +390,16 @@ def make_handler(loop: ServingLoop):
                 return
 
             result = loop.submit_and_wait(prompt, max_new, temp, guided=guided)
+            cut = min((i for i in (result["text"].find(s) for s in stops)
+                       if i >= 0), default=-1)
+            if cut >= 0:
+                result["text"] = result["text"][:cut]
             n_prompt = len(loop.tokenizer.encode(prompt))
             usage = {"prompt_tokens": n_prompt,
                      "completion_tokens": len(result["tokens"]),
                      "total_tokens": n_prompt + len(result["tokens"])}
-            finish = "length" if len(result["tokens"]) >= max_new else "stop"
+            finish = ("stop" if cut >= 0 else
+                      "length" if len(result["tokens"]) >= max_new else "stop")
             choice = (
                 {"index": 0, "finish_reason": finish,
                  "message": {"role": "assistant", "content": result["text"]}}

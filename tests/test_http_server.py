@@ -125,6 +125,30 @@ class TestStreaming:
         assert len(events) >= 2
 
 
+class TestStopStrings:
+    def test_nonstream_stop_truncates(self, server):
+        base = post(server, {"prompt": "stop test", "max_new_tokens": 8,
+                             "temperature": 0.0})
+        assert len(base["text"]) >= 2
+        marker = base["text"][1]  # 2nd char as a stop string
+        out = post(server, {"prompt": "stop test", "max_new_tokens": 8,
+                            "temperature": 0.0, "stop": marker})
+        assert marker not in out["text"]
+        assert out["text"] == base["text"].split(marker)[0]
+
+    def test_stream_stop_cancels_early(self, server):
+        base = post(server, {"prompt": "stream stop", "max_new_tokens": 12,
+                             "temperature": 0.0})
+        marker = base["text"][1]
+        events = sse_events(server, "/generate",
+                            {"prompt": "stream stop", "max_new_tokens": 12,
+                             "temperature": 0.0, "stream": True,
+                             "stop": [marker]})
+        text = "".join(ev["text"] for ev in events)
+        assert marker not in text
+        assert text == base["text"].split(marker)[0]
+
+
 class TestOpenAICompat:
     def test_models(self, server):
         with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
