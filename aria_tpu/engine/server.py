@@ -616,35 +616,41 @@ class PagedBatchedEngine:
 
     @functools.cached_property
     def _chunk_jit(self):
+        """One prefill chunk for N mid-prefill lanes TOGETHER: each serial
+        per-lane chunk streams the whole expert stack, so advancing every
+        prefilling lane in one call makes admission cost O(1) model sweeps
+        per tick instead of O(lanes) — the same batching the contiguous
+        engine's grouped admission does, generalized to per-row offsets and
+        page-table rows."""
         cfg = self.cfg
         C, K = self.C, self.S
         guided = self.guided_fsm is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def prefill_chunk(params, embeds, cache, pt_row, offset, logit_at, temp, rng,
+        def prefill_chunk(params, embeds, cache, pt_rows, offsets, logit_at, temp, rng,
                           fsm=None, gstate=None):
-            # embeds: [1, C, D]; pt_row: [1, MAXP]; offset: scalar
+            # embeds: [N, C, D]; pt_rows: [N, MAXP]; offsets/logit_at/temp: [N]
             kv_pos = jnp.arange(K)
-            qi = offset + jnp.arange(C)
-            mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            qi = offsets[:, None] + jnp.arange(C)[None, :]  # [N, C]
+            mask = (kv_pos[None, None, :] <= qi[:, :, None])[:, None]  # [N,1,C,K]
             out = lm_forward(
                 params["lm"], cfg.text, inputs_embeds=embeds,
                 positions=qi, mask=mask,
-                cache=cache, cache_pos=offset,
+                cache=cache, cache_pos=offsets,
                 logit_position=jnp.clip(logit_at, 0, C - 1),
-                page_table=pt_row, causal_flash=False,
+                page_table=pt_rows, causal_flash=False,
             )
             logits = out.logits[:, 0]
             if guided:
                 from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                 logits = guided_mask(*fsm, gstate, logits)
-            tok = sample(rng, logits, temp, self.top_k)
+            toks = sample(rng, logits, temp, self.top_k)
             if guided:
                 # the host commits this state only on the COMPLETING chunk —
                 # intermediate chunks' sampled tokens are placeholders
-                return tok[0], out.cache, guided_next_state(fsm[0], gstate, tok)[0]
-            return tok[0], out.cache
+                return toks, out.cache, guided_next_state(fsm[0], gstate, toks)
+            return toks, out.cache
 
         return prefill_chunk
 
@@ -794,44 +800,60 @@ class PagedBatchedEngine:
         return keys
 
     def _prefill_tick(self):
-        """Advance EVERY mid-prefill lane by one chunk: a burst of short
-        prompts finishes admission in one tick (one chunk per lane fully
-        interleaves long prompts with decode, but advancing only one LANE
-        per tick left early decode chunks running nearly empty — 225 decode
-        steps for 400 useful tokens in the 8-lane profile)."""
-        for lane in [i for i, s in enumerate(self.lane_state) if s == self.PREFILL]:
-            self._prefill_lane_chunk(lane)
-
-    def _prefill_lane_chunk(self, lane: int):
-        req = self.lane_req[lane]
-        o = int(self.lane_pos[lane])
-        true_len = int(self.lane_true_len[lane])
-        embeds = jax.lax.dynamic_slice_in_dim(self.lane_embeds[lane], o, self.C, axis=1)
+        """Advance EVERY mid-prefill lane by one chunk, in ONE batched call:
+        each serial per-lane chunk streams the whole expert stack, so a
+        burst of admissions would otherwise cost O(lanes) full-model sweeps
+        per tick. Rows are padded to a power of two (repeating the last
+        lane — duplicate rows rewrite identical pages, which is benign) so
+        the jit compile count stays bounded."""
+        lanes = [i for i, s in enumerate(self.lane_state) if s == self.PREFILL]
+        if not lanes:
+            return
+        lanes = lanes[:32]  # bound MoE activation temps like grouped admission
+        N = len(lanes)
+        Np = 1 << (N - 1).bit_length()
+        rows = lanes + [lanes[-1]] * (Np - N)
+        embeds = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(
+                self.lane_embeds[l], int(self.lane_pos[l]), self.C, axis=1)
+            for l in rows], axis=0)
+        offsets = np.asarray([self.lane_pos[l] for l in rows], np.int32)
+        logit_at = np.asarray(
+            [self.lane_true_len[l] - 1 - self.lane_pos[l] for l in rows], np.int32)
+        temps = np.asarray([self.lane_temp[l] for l in rows], np.float32)
         self._rng, rng = jax.random.split(self._rng)
         args = (self.params, embeds, self.cache,
-                jnp.asarray(self.page_table[lane : lane + 1]),
-                jnp.int32(o), jnp.int32(true_len - 1 - o),
-                jnp.full((1,), self.lane_temp[lane], jnp.float32), rng)
+                jnp.asarray(self.page_table[rows]), jnp.asarray(offsets),
+                jnp.asarray(logit_at), jnp.asarray(temps), rng)
+        new_g = None
         if self.guided_fsm is not None:
             f = self.guided_fsm
-            g0 = jnp.full((1,), f.start if req.guided else f.free_state, jnp.int32)
-            tok, self.cache, g1 = self._chunk_jit(*args, fsm=self._fsm_args(),
-                                                  gstate=g0)
-            if o + self.C >= true_len:  # completing chunk: commit the state
-                self.lane_gstate = self.lane_gstate.at[lane].set(g1)
+            g0 = np.asarray(
+                [f.start if self.lane_req[l].guided else f.free_state
+                 for l in rows], np.int32)
+            toks, self.cache, new_g = self._chunk_jit(
+                *args, fsm=self._fsm_args(), gstate=jnp.asarray(g0))
         else:
-            tok, self.cache = self._chunk_jit(*args)
-        o += self.C
-        self.lane_pos[lane] = o
-        if o >= true_len:  # prompt fully written; sampled tok is the first token
-            # deferred readback (see BatchedEngine._admit): scatter the device
+            toks, self.cache = self._chunk_jit(*args)
+        for idx, lane in enumerate(lanes):
+            o = int(self.lane_pos[lane]) + self.C
+            self.lane_pos[lane] = o
+            true_len = int(self.lane_true_len[lane])
+            if o < true_len:
+                continue
+            # prompt fully written; this row's sampled tok is the first token.
+            # Deferred readback (see BatchedEngine._admit): scatter the device
             # scalar into the lane-token vector; resolve in one batched read
-            # at the next chunk drain
+            # at the next chunk drain.
+            req = self.lane_req[lane]
+            tok = toks[idx]
             self.lane_tok = self.lane_tok.at[lane].set(tok)
             self._pending_first.append((lane, req, tok))
             self.lane_pos[lane] = true_len
             self.lane_state[lane] = self.DECODE
             self.lane_embeds[lane] = None
+            if new_g is not None:  # completing chunk: commit the FSM state
+                self.lane_gstate = self.lane_gstate.at[lane].set(new_g[idx])
             # Publish this prompt's full pages: their KV is complete and —
             # decode appends strictly after true_len — immutable from here.
             if self.lane_keys[lane]:
