@@ -352,11 +352,15 @@ def make_handler(loop: ServingLoop):
                 payload.get("response_format", {}).get("type") == "json_object"
             )
             stops = self._stops(payload)
+            n = int(payload.get("n", 1))
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
 
             if payload.get("stream"):
+                if n != 1:
+                    self._json(400, {"error": "stream=true requires n=1"})
+                    return
                 def events():
                     if chat:  # role handshake chunk, per the OpenAI protocol
                         yield {
@@ -389,25 +393,40 @@ def make_handler(loop: ServingLoop):
                 self._sse(events())
                 return
 
-            result = loop.submit_and_wait(prompt, max_new, temp, guided=guided)
-            cut = min((i for i in (result["text"].find(s) for s in stops)
-                       if i >= 0), default=-1)
-            if cut >= 0:
-                result["text"] = result["text"][:cut]
+            # n choices run CONCURRENTLY through the continuous batch — they
+            # join the same decode chunks, so n completions cost ~one
+            from concurrent.futures import ThreadPoolExecutor
+
+            if n == 1:
+                results = [loop.submit_and_wait(prompt, max_new, temp, guided=guided)]
+            else:
+                with ThreadPoolExecutor(max_workers=n) as ex:
+                    results = list(ex.map(
+                        lambda _: loop.submit_and_wait(prompt, max_new, temp,
+                                                       guided=guided),
+                        range(n)))
+            choices = []
+            total_completion = 0
+            for i, result in enumerate(results):
+                cut = min((j for j in (result["text"].find(s) for s in stops)
+                           if j >= 0), default=-1)
+                if cut >= 0:
+                    result["text"] = result["text"][:cut]
+                total_completion += len(result["tokens"])
+                finish = ("stop" if cut >= 0 else
+                          "length" if len(result["tokens"]) >= max_new else "stop")
+                choices.append(
+                    {"index": i, "finish_reason": finish,
+                     "message": {"role": "assistant", "content": result["text"]}}
+                    if chat else
+                    {"index": i, "finish_reason": finish, "text": result["text"]}
+                )
             n_prompt = len(loop.tokenizer.encode(prompt))
             usage = {"prompt_tokens": n_prompt,
-                     "completion_tokens": len(result["tokens"]),
-                     "total_tokens": n_prompt + len(result["tokens"])}
-            finish = ("stop" if cut >= 0 else
-                      "length" if len(result["tokens"]) >= max_new else "stop")
-            choice = (
-                {"index": 0, "finish_reason": finish,
-                 "message": {"role": "assistant", "content": result["text"]}}
-                if chat else
-                {"index": 0, "finish_reason": finish, "text": result["text"]}
-            )
+                     "completion_tokens": total_completion,
+                     "total_tokens": n_prompt + total_completion}
             self._json(200, {"id": rid, "object": obj, "created": created,
-                             "model": MODEL_ID, "choices": [choice],
+                             "model": MODEL_ID, "choices": choices,
                              "usage": usage})
 
     return Handler

@@ -185,6 +185,22 @@ class TestOpenAICompat:
         msg = data["choices"][0]["message"]
         assert msg["role"] == "assistant" and isinstance(msg["content"], str)
 
+    def test_n_choices(self, server):
+        req = urllib.request.Request(
+            server + "/v1/completions",
+            data=json.dumps({"model": "aria-tpu", "prompt": "pick n",
+                             "max_tokens": 4, "temperature": 0.0,
+                             "n": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            data = json.loads(r.read())
+        assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+        # greedy: all three concurrent lanes must agree
+        assert len({c["text"] for c in data["choices"]}) == 1
+        assert data["usage"]["completion_tokens"] == sum(
+            4 for _ in data["choices"])
+
     def test_chat_completions_stream(self, server):
         events = sse_events(server, "/v1/chat/completions", {
             "model": "aria-tpu",
