@@ -88,11 +88,27 @@ class _Expr:
             nfa.eps[inner_a].add(inner_s)
             return inner_s, inner_a
         if self.kind == "opt":
+            # the skip edge lives on a FRESH start node — putting it on
+            # inner_s would let any loop that re-enters inner_s (sepby1)
+            # skip the inner machine, accepting e.g. trailing commas
             inner_s, inner_a = self.data[0].compile_into(nfa)
-            a = nfa.node()
-            nfa.eps[inner_s].add(a)  # skip
+            s, a = nfa.node(), nfa.node()
+            nfa.eps[s].add(inner_s)
+            nfa.eps[s].add(a)  # skip
             nfa.eps[inner_a].add(a)
-            return inner_s, a
+            return s, a
+        if self.kind == "sepby1":
+            # item (sep item)* with ONE copy of the item machine: after item,
+            # either exit or take sep and loop back into the same copy. This
+            # keeps the bounded-depth JSON grammar's NFA linear in depth
+            # instead of exponential (star() would duplicate the item).
+            item_s, item_a = self.data[0].compile_into(nfa)
+            sep_s, sep_a = self.data[1].compile_into(nfa)
+            a = nfa.node()
+            nfa.eps[item_a].add(a)
+            nfa.eps[item_a].add(sep_s)
+            nfa.eps[sep_a].add(item_s)
+            return item_s, a
         raise ValueError(self.kind)
 
 
@@ -126,6 +142,11 @@ def opt(e: _Expr) -> _Expr:
 
 def eps() -> _Expr:
     return _Expr("eps")
+
+
+def sepby1(item: _Expr, sep: _Expr) -> _Expr:
+    """item (sep item)* sharing one item sub-machine."""
+    return _Expr("sepby1", (item, sep))
 
 
 def rep(e: _Expr, lo: int, hi: Optional[int]) -> _Expr:
@@ -288,20 +309,55 @@ class ByteDFA:
 
 
 def compile_expr(expr: _Expr) -> ByteDFA:
-    """Thompson NFA → subset-construction DFA."""
+    """Thompson NFA → subset-construction DFA.
+
+    Two scaling tricks keep the depth-bounded JSON grammar compiling in
+    milliseconds: (1) the alphabet is partitioned into byte-equivalence
+    classes (bytes with identical edges everywhere transition identically,
+    so one representative per class is determinized and the row is expanded
+    at the end — JSON has ~25 classes, not 256); (2) subset states are
+    frozensets with per-transition memoized eps-closure."""
     nfa = _NFA()
     start, accept = expr.compile_into(nfa)
 
-    def closure(states: frozenset) -> frozenset:
-        stack, out = list(states), set(states)
+    # --- byte-equivalence classes: signature = all (node, targets) edges
+    by_byte_sig: Dict[int, list] = {b: [] for b in range(256)}
+    for n, edges in enumerate(nfa.byte):
+        for b, tgts in edges.items():
+            by_byte_sig[b].append((n, frozenset(tgts)))
+    sig_to_rep: Dict[tuple, int] = {}
+    rep_of = np.zeros(256, np.int32)
+    for b in range(256):
+        sig = tuple(by_byte_sig[b])
+        if sig not in sig_to_rep:
+            sig_to_rep[sig] = b
+        rep_of[b] = sig_to_rep[sig]
+    reps = sorted(set(rep_of.tolist()))
+
+    # --- memoized single-node eps-closure (as frozenset)
+    closure_memo: Dict[int, frozenset] = {}
+
+    def node_closure(n: int) -> frozenset:
+        got = closure_memo.get(n)
+        if got is not None:
+            return got
+        stack, out = [n], {n}
         while stack:
             for nxt in nfa.eps[stack.pop()]:
                 if nxt not in out:
                     out.add(nxt)
                     stack.append(nxt)
+        got = frozenset(out)
+        closure_memo[n] = got
+        return got
+
+    def closure(states) -> frozenset:
+        out: set = set()
+        for n in states:
+            out |= node_closure(n)
         return frozenset(out)
 
-    start_set = closure(frozenset({start}))
+    start_set = closure({start})
     ids: Dict[frozenset, int] = {start_set: 0}
     order = [start_set]
     rows: List[np.ndarray] = []
@@ -309,18 +365,18 @@ def compile_expr(expr: _Expr) -> ByteDFA:
     while i < len(order):
         cur = order[i]
         row = np.full(256, -1, np.int32)
-        # group target NFA-state-sets by byte
-        by_byte: Dict[int, set] = {}
+        by_rep: Dict[int, set] = {}
         for n in cur:
             for b, nxts in nfa.byte[n].items():
-                by_byte.setdefault(b, set()).update(nxts)
-        for b, nxts in by_byte.items():
-            tgt = closure(frozenset(nxts))
+                if rep_of[b] == b:
+                    by_rep.setdefault(b, set()).update(nxts)
+        for b, nxts in by_rep.items():
+            tgt = closure(nxts)
             if tgt not in ids:
                 ids[tgt] = len(order)
                 order.append(tgt)
             row[b] = ids[tgt]
-        rows.append(row)
+        rows.append(row[rep_of])  # expand class representatives to all bytes
         i += 1
     accepting = np.array([accept in s for s in order], bool)
     return ByteDFA(np.stack(rows), accepting, 0)
@@ -350,21 +406,26 @@ _NUMBER = seq(
 _SCALAR = alt(_STRING, _NUMBER, lit("true"), lit("false"), lit("null"))
 
 
+def _json_obj(inner: _Expr) -> _Expr:
+    pair = seq(_STRING, _WS, lit(":"), _WS, inner)
+    return seq(lit("{"), _WS,
+               opt(sepby1(pair, seq(_WS, lit(","), _WS))),
+               _WS, lit("}"))
+
+
+def _json_arr(inner: _Expr) -> _Expr:
+    return seq(lit("["), _WS,
+               opt(sepby1(inner, seq(_WS, lit(","), _WS))),
+               _WS, lit("]"))
+
+
 def _json_value(depth: int) -> _Expr:
     if depth <= 0:
         return _SCALAR
     inner = _json_value(depth - 1)
-    obj = alt(
-        seq(lit("{"), _WS, lit("}")),
-        seq(lit("{"), _WS, _STRING, _WS, lit(":"), _WS, inner,
-            star(seq(_WS, lit(","), _WS, _STRING, _WS, lit(":"), _WS, inner)),
-            _WS, lit("}")),
-    )
-    arr = alt(
-        seq(lit("["), _WS, lit("]")),
-        seq(lit("["), _WS, inner, star(seq(_WS, lit(","), _WS, inner)), _WS, lit("]")),
-    )
-    return alt(_SCALAR, obj, arr)
+    # one shared inner machine per container (sepby1), so the NFA stays
+    # linear in depth — the naive star() expansion is exponential
+    return alt(_SCALAR, _json_obj(inner), _json_arr(inner))
 
 
 def json_dfa(max_depth: int = 4, object_only: bool = True) -> ByteDFA:
@@ -372,13 +433,7 @@ def json_dfa(max_depth: int = 4, object_only: bool = True) -> ByteDFA:
     requires the top level to be an object (OpenAI json_object semantics)."""
     top = _json_value(max_depth)
     if object_only:
-        inner = _json_value(max_depth - 1)
-        top = alt(
-            seq(lit("{"), _WS, lit("}")),
-            seq(lit("{"), _WS, _STRING, _WS, lit(":"), _WS, inner,
-                star(seq(_WS, lit(","), _WS, _STRING, _WS, lit(":"), _WS, inner)),
-                _WS, lit("}")),
-        )
+        top = _json_obj(_json_value(max_depth - 1))
     return compile_expr(seq(_WS, top))
 
 
@@ -470,20 +525,23 @@ class TokenFSM:
                 len_vec[v] = len(b)
 
         # walk every token from every DFA state, vectorized over [S, V]
-        state = np.tile(np.arange(S, dtype=np.int32)[:, None], (1, V))
+        state = np.broadcast_to(
+            np.arange(S, dtype=np.int32)[:, None], (S, V)).copy()
         for i in range(maxlen):
-            live = len_vec > i  # [V]
-            nxt = T[state[:, live], byte_mat[None, live, i].repeat(S, 0)]
-            state[:, live] = nxt
+            nxt = T[state, byte_mat[None, :, i]]  # [S, V] broadcast gather
+            np.copyto(state, nxt, where=(len_vec > i)[None, :])
         trans = np.where(
             (state == DEAD) | (len_vec[None, :] == 0), -1, state
-        ).astype(np.int32)
+        )
 
         # free state: self-loop on EVERY token (unconstrained lanes must see
         # an unmodified distribution, special tokens included)
         FREE = S
         free_row = np.full((1, V), FREE, np.int32)
-        trans = np.concatenate([trans, free_row], 0)
+        # int16 halves the device table (the 100k-vocab JSON FSM is ~50MB
+        # instead of 100+); guided_next_state casts back to the state dtype
+        dt = np.int16 if S + 1 < np.iinfo(np.int16).max else np.int32
+        trans = np.concatenate([trans, free_row], 0).astype(dt)
         accepting = np.concatenate([dfa.accepting, [True]])
 
         stop_mask = np.zeros(V, bool)
@@ -515,5 +573,5 @@ def guided_mask(fsm_trans, fsm_accepting, fsm_stop, state, logits):
 
 def guided_next_state(fsm_trans, state, tok):
     """Advance state by the sampled token (stop tokens keep the state)."""
-    nxt = fsm_trans[state, tok]
+    nxt = fsm_trans[state, tok].astype(state.dtype)
     return jnp.where(nxt >= 0, nxt, state)

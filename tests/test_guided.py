@@ -73,7 +73,8 @@ class TestJsonDFA:
     def test_rejects_invalid(self):
         dfa = json_dfa(max_depth=3)
         for doc in ["", "{", '{"a"}', '{"a": }', '{"a": 1,}', "[1]",
-                    '{"a": 01}', "{'a': 1}", '{"a": 1} extra']:
+                    '{"a": 01}', "{'a': 1}", '{"a": 1} extra',
+                    '{"a": [1,]}', '{"a": [,1]}', '{"a": 1 "b": 2}']:
             assert not dfa.matches(doc.encode()), doc
 
     def test_depth_bound(self):
