@@ -332,7 +332,6 @@ def compile_expr(expr: _Expr) -> ByteDFA:
         if sig not in sig_to_rep:
             sig_to_rep[sig] = b
         rep_of[b] = sig_to_rep[sig]
-    reps = sorted(set(rep_of.tolist()))
 
     # --- memoized single-node eps-closure (as frozenset)
     closure_memo: Dict[int, frozenset] = {}
