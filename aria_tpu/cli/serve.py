@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--json-mode", action="store_true",
                     help="compile a JSON-grammar TokenFSM so requests with "
                     "response_format={'type':'json_object'} decode constrained")
+    ap.add_argument("--json-schema", default=None, metavar="PATH",
+                    help="compile a JSON-Schema TokenFSM (OpenAI structured "
+                    "outputs: schema-ordered, all-required properties); "
+                    "guided requests conform to this schema exactly")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,7 +50,15 @@ def main(argv=None):
         params = jax.jit(quantize_params, donate_argnums=0)(params)
     params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
     fsm = None
-    if args.json_mode:
+    if args.json_schema:
+        import json
+
+        from aria_tpu.engine.guided import schema_fsm
+
+        with open(args.json_schema) as f:
+            fsm = schema_fsm(json.load(f), tokenizer, [tokenizer.eos_token_id],
+                             vocab_size=cfg.text.vocab_size)
+    elif args.json_mode:
         from aria_tpu.engine.guided import json_fsm
 
         fsm = json_fsm(tokenizer, [tokenizer.eos_token_id],

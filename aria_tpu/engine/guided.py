@@ -490,6 +490,93 @@ def json_fsm(tokenizer, stop_token_ids: Sequence[int],
     )
 
 
+# ============================================================ JSON Schema
+
+def schema_to_expr(schema: dict) -> _Expr:
+    """JSON Schema → grammar expression (OpenAI "structured outputs"
+    semantics: object properties are emitted in SCHEMA ORDER and are all
+    required — the convention that keeps the automaton linear instead of
+    enumerating key permutations).
+
+    Supported: type object/array/string/number/integer/boolean/null,
+    properties, items, enum, const, string pattern (the regex subset of
+    :func:`parse_regex`), minItems/maxItems, anyOf/oneOf, $defs-free
+    inline schemas."""
+    if "const" in schema:
+        return lit(_json_dump(schema["const"]))
+    if "enum" in schema:
+        return alt(*[lit(_json_dump(v)) for v in schema["enum"]])
+    if "anyOf" in schema or "oneOf" in schema:
+        subs = schema.get("anyOf", schema.get("oneOf"))
+        return alt(*[schema_to_expr(s) for s in subs])
+
+    t = schema.get("type")
+    if isinstance(t, list):
+        return alt(*[schema_to_expr({**schema, "type": ti}) for ti in t])
+    if t == "object" or (t is None and "properties" in schema):
+        props = schema.get("properties", {})
+        if not props:
+            return seq(lit("{"), _WS, lit("}"))
+        parts = [lit("{"), _WS]
+        for i, (key, sub) in enumerate(props.items()):
+            if i:
+                parts += [_WS, lit(","), _WS]
+            parts += [lit(_json_dump(key)), _WS, lit(":"), _WS,
+                      schema_to_expr(sub)]
+        parts += [_WS, lit("}")]
+        return seq(*parts)
+    if t == "array":
+        item = schema_to_expr(schema.get("items", {"type": "string"}))
+        lo = int(schema.get("minItems", 0))
+        hi = schema.get("maxItems")
+        sep = seq(_WS, lit(","), _WS)
+        if hi is not None:
+            hi = int(hi)
+            if hi == 0:
+                return seq(lit("["), _WS, lit("]"))
+            body = seq(item, rep(seq(sep, item), max(lo - 1, 0), hi - 1))
+            core = body if lo >= 1 else opt(body)
+            return seq(lit("["), _WS, core, _WS, lit("]"))
+        if lo >= 1:
+            body = seq(item, rep(seq(sep, item), lo - 1, None))
+            return seq(lit("["), _WS, body, _WS, lit("]"))
+        return seq(lit("["), _WS, opt(sepby1(item, sep)), _WS, lit("]"))
+    if t == "string":
+        if "pattern" in schema:
+            inner = parse_regex(schema["pattern"])
+            # escape-free contents only: the pattern constrains the raw text
+            return seq(lit('"'), inner, lit('"'))
+        return _STRING
+    if t == "integer":
+        return seq(opt(lit("-")), alt(
+            lit("0"), seq(cls(set(range(0x31, 0x3A))),
+                          star(cls(set(range(0x30, 0x3A)))))))
+    if t == "number":
+        return _NUMBER
+    if t == "boolean":
+        return alt(lit("true"), lit("false"))
+    if t == "null":
+        return lit("null")
+    # unconstrained: any JSON value (bounded depth)
+    return _json_value(3)
+
+
+def _json_dump(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"))
+
+
+def schema_fsm(schema: dict, tokenizer, stop_token_ids: Sequence[int],
+               vocab_size: Optional[int] = None) -> "TokenFSM":
+    """OpenAI ``response_format={"type": "json_schema"}``: outputs conform
+    to the schema exactly (schema-ordered, all-required properties)."""
+    return TokenFSM.build(
+        compile_expr(seq(_WS, schema_to_expr(schema))),
+        token_byte_strings(tokenizer, vocab_size), stop_token_ids,
+    )
+
+
 @dataclasses.dataclass
 class TokenFSM:
     """Device-resident token-level automaton.

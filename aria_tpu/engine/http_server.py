@@ -348,8 +348,13 @@ def make_handler(loop: ServingLoop):
                 prompt = payload["prompt"]
             max_new = int(payload.get("max_tokens", payload.get("max_new_tokens", 256)))
             temp = payload.get("temperature")
+            # json_object uses the engine's generic JSON FSM; json_schema
+            # uses whatever schema FSM the server was deployed with
+            # (serve --json-schema) — per-request schema compilation would
+            # need per-lane transition tables, not yet supported
             guided = (
-                payload.get("response_format", {}).get("type") == "json_object"
+                payload.get("response_format", {}).get("type")
+                in ("json_object", "json_schema")
             )
             stops = self._stops(payload)
             n = int(payload.get("n", 1))

@@ -83,6 +83,89 @@ class TestJsonDFA:
         assert not dfa.matches(b'{"a": [[1]]}')  # depth 3
 
 
+class TestJsonSchema:
+    SCHEMA = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"},
+                     "minItems": 1, "maxItems": 3},
+            "mood": {"enum": ["happy", "sad", 3]},
+            "score": {"type": "number"},
+            "alive": {"type": "boolean"},
+        },
+    }
+
+    def _dfa(self, schema):
+        from aria_tpu.engine.guided import compile_expr, schema_to_expr, seq, _WS
+
+        return compile_expr(seq(_WS, schema_to_expr(schema)))
+
+    def test_accepts_conforming_documents(self):
+        dfa = self._dfa(self.SCHEMA)
+        for doc in [
+            '{"name":"bo","age":3,"tags":["a"],"mood":"sad","score":1.5,"alive":true}',
+            '{"name": "x", "age": -42, "tags": ["a", "b", "c"], '
+            '"mood": 3, "score": -2e3, "alive": false}',
+        ]:
+            json.loads(doc)
+            assert dfa.matches(doc.encode()), doc
+
+    def test_rejects_nonconforming(self):
+        dfa = self._dfa(self.SCHEMA)
+        for doc in [
+            '{"name":"bo"}',  # missing properties
+            '{"age":3,"name":"bo","tags":["a"],"mood":"sad","score":1,"alive":true}',  # order
+            '{"name":"bo","age":3.5,"tags":["a"],"mood":"sad","score":1,"alive":true}',  # non-int
+            '{"name":"bo","age":3,"tags":[],"mood":"sad","score":1,"alive":true}',  # minItems
+            '{"name":"bo","age":3,"tags":["a","b","c","d"],"mood":"sad","score":1,"alive":true}',  # maxItems
+            '{"name":"bo","age":3,"tags":["a"],"mood":"angry","score":1,"alive":true}',  # enum
+            '{"name":"bo","age":3,"tags":["a"],"mood":"sad","score":1,"alive":"yes"}',  # bool
+        ]:
+            assert not dfa.matches(doc.encode()), doc
+
+    def test_string_pattern_and_anyof(self):
+        dfa = self._dfa({
+            "type": "object",
+            "properties": {
+                "id": {"type": "string", "pattern": "[a-f0-9]{4}"},
+                "v": {"anyOf": [{"type": "integer"}, {"type": "null"}]},
+            },
+        })
+        assert dfa.matches(b'{"id":"beef","v":null}')
+        assert dfa.matches(b'{"id":"0a1f","v":7}')
+        assert not dfa.matches(b'{"id":"xyzw","v":null}')
+        assert not dfa.matches(b'{"id":"beef","v":1.5}')
+
+    def test_generation_conforms(self):
+        from aria_tpu.config import AriaConfig
+        from aria_tpu.data.tokenizer import ByteTokenizer
+        from aria_tpu.engine.generate import Engine, GenerationConfig
+        from aria_tpu.engine.guided import schema_fsm
+        from aria_tpu.models.aria import init_aria_params
+
+        cfg = AriaConfig.tiny()
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        eng = Engine(params, cfg, max_seq_len=256, cache_dtype=jnp.float32)
+        tok = ByteTokenizer()
+        schema = {"type": "object", "properties": {
+            "ok": {"type": "boolean"},
+            "n": {"type": "integer"},
+        }}
+        fsm = schema_fsm(schema, tok, [tok.eos_token_id],
+                         vocab_size=cfg.text.vocab_size)
+        res = eng.generate(
+            [5, 17, 3],
+            GenerationConfig(max_new_tokens=40, temperature=0.8, top_k=None,
+                             stop_token_ids=(tok.eos_token_id,), guided=fsm),
+        )
+        if res.tokens[-1] == tok.eos_token_id:
+            doc = json.loads(tok.decode(res.tokens[:-1]))
+            assert set(doc) == {"ok", "n"}
+            assert isinstance(doc["ok"], bool) and isinstance(doc["n"], int)
+
+
 class _ToyTok:
     """Byte tokenizer over a tiny explicit vocab."""
 
