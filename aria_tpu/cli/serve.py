@@ -32,6 +32,10 @@ def main(argv=None):
                     help="compile a JSON-Schema TokenFSM (OpenAI structured "
                     "outputs: schema-ordered, all-required properties); "
                     "guided requests conform to this schema exactly")
+    ap.add_argument("--adapter", action="append", default=[],
+                    metavar="NAME=PATH[:RANK[:ALPHA]]",
+                    help="serve a LoRA adapter (repeatable): requests select "
+                    "it via the OpenAI `model` field; default rank 8 alpha 32")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,7 +67,25 @@ def main(argv=None):
 
         fsm = json_fsm(tokenizer, [tokenizer.eos_token_id],
                        vocab_size=cfg.text.vocab_size)
+    registry = None
+    if args.adapter:
+        from aria_tpu.checkpoint.io import latest_step, load_checkpoint
+        from aria_tpu.engine.multi_lora import AdapterRegistry
+        from aria_tpu.train.lora import LoraConfig
+
+        named, scales = {}, {}
+        for spec in args.adapter:
+            name, _, rest = spec.partition("=")
+            path, *opts = rest.split(":")
+            r = int(opts[0]) if opts else 8
+            alpha = float(opts[1]) if len(opts) > 1 else 32.0
+            tree, _ = load_checkpoint(path, latest_step(path) or 0)
+            named[name] = tree["lm"] if "lm" in tree else tree
+            scales[name] = LoraConfig(rank=r, alpha=alpha).scale
+        registry = AdapterRegistry(named, scales)
     if args.paged:
+        if registry is not None:
+            raise SystemExit("--adapter requires the contiguous engine")
         engine = PagedBatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
             page_size=args.page_size, temperature=args.temperature,
@@ -74,6 +96,7 @@ def main(argv=None):
         engine = BatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
             temperature=args.temperature, top_k=args.top_k, guided_fsm=fsm,
+            adapters=registry,
         )
     serve(engine, tokenizer, host=args.host, port=args.port)
 

@@ -96,7 +96,8 @@ class ServingLoop:
     # ------------------------------------------------------------ submit
 
     def _submit(self, prompt: str, max_new_tokens: int,
-                temperature: Optional[float], guided: bool = False):
+                temperature: Optional[float], guided: bool = False,
+                adapter: Optional[str] = None):
         out = self.processor(prompt, max_image_size=self.max_image_size)
         stop_ids = tuple(
             t for t in [getattr(self.tokenizer, "eos_token_id", None)]
@@ -105,15 +106,18 @@ class ServingLoop:
         uid = self.engine.submit(
             out.input_ids[0].tolist(), max_new_tokens=max_new_tokens,
             stop_token_ids=stop_ids, temperature=temperature, guided=guided,
+            adapter=adapter,
         )
         return uid, self.engine.queue[-1]
 
     def submit_and_wait(self, prompt: str, max_new_tokens: int = 256,
                         temperature: Optional[float] = None,
-                        timeout: float = 600.0, guided: bool = False):
+                        timeout: float = 600.0, guided: bool = False,
+                        adapter: Optional[str] = None):
         ev = threading.Event()
         with self._lock:
-            uid, _ = self._submit(prompt, max_new_tokens, temperature, guided)
+            uid, _ = self._submit(prompt, max_new_tokens, temperature, guided,
+                                  adapter)
             self._events[uid] = ev
         if not ev.wait(timeout):
             with self._lock:
@@ -132,11 +136,13 @@ class ServingLoop:
 
     def submit_stream(self, prompt: str, max_new_tokens: int = 256,
                       temperature: Optional[float] = None,
-                      timeout: float = 600.0, guided: bool = False):
+                      timeout: float = 600.0, guided: bool = False,
+                      adapter: Optional[str] = None):
         """Returns (uid, iterator of per-chunk token-id lists)."""
         q: queue_mod.Queue = queue_mod.Queue()
         with self._lock:
-            uid, req = self._submit(prompt, max_new_tokens, temperature, guided)
+            uid, req = self._submit(prompt, max_new_tokens, temperature, guided,
+                                    adapter)
             self._streams[uid] = q
             self._stream_reqs[uid] = req
             self._sent[uid] = 0
@@ -254,9 +260,13 @@ def make_handler(loop: ServingLoop):
             elif self.path == "/metrics":
                 self._json(200, loop.metrics())
             elif self.path == "/v1/models":
-                self._json(200, {"object": "list", "data": [
-                    {"id": MODEL_ID, "object": "model", "owned_by": "aria-tpu"}
-                ]})
+                reg = getattr(loop.engine, "adapters", None)
+                models = [{"id": MODEL_ID, "object": "model",
+                           "owned_by": "aria-tpu"}]
+                models += [{"id": n, "object": "model", "owned_by": "aria-tpu",
+                            "parent": MODEL_ID}  # served LoRA adapters
+                           for n in (reg.names if reg else [])]
+                self._json(200, {"object": "list", "data": models})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -267,14 +277,14 @@ def make_handler(loop: ServingLoop):
             return json.loads(self.rfile.read(length) or b"{}")
 
         def _stream_text(self, prompt, max_new, temperature, guided=False,
-                         stop_strings=()):
+                         stop_strings=(), adapter=None):
             """Shared incremental detokenizer for both streaming APIs: yields
             (delta_text, token_ids) per decode chunk. Stop strings truncate
             the stream and CANCEL the request so the lane frees immediately
             (the reference pays a per-step detokenize check instead,
             gptfast/generate.py:324-335)."""
             uid, deltas = loop.submit_stream(prompt, max_new, temperature,
-                                             guided=guided)
+                                             guided=guided, adapter=adapter)
             toks: List[int] = []
             sent_text = ""
             stopped = False
@@ -327,14 +337,17 @@ def make_handler(loop: ServingLoop):
             max_new = int(payload.get("max_new_tokens", 256))
             temp = payload.get("temperature")
             stops = self._stops(payload)
+            adapter = payload.get("adapter")
             if payload.get("stream"):
                 self._sse(
                     {"text": d, "tokens": t}
                     for d, t in self._stream_text(prompt, max_new, temp,
-                                                  stop_strings=stops)
+                                                  stop_strings=stops,
+                                                  adapter=adapter)
                 )
                 return
-            result = loop.submit_and_wait(prompt, max_new, temp)
+            result = loop.submit_and_wait(prompt, max_new, temp,
+                                          adapter=adapter)
             cut = min((i for i in (result["text"].find(s) for s in stops)
                        if i >= 0), default=-1)
             if cut >= 0:
@@ -358,6 +371,8 @@ def make_handler(loop: ServingLoop):
             )
             stops = self._stops(payload)
             n = int(payload.get("n", 1))
+            model = payload.get("model")
+            adapter = None if model in (None, MODEL_ID) else model
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -376,7 +391,8 @@ def make_handler(loop: ServingLoop):
                         }
                     for delta, _toks in self._stream_text(prompt, max_new, temp,
                                                           guided=guided,
-                                                          stop_strings=stops):
+                                                          stop_strings=stops,
+                                                          adapter=adapter):
                         choice = (
                             {"index": 0, "delta": {"content": delta},
                              "finish_reason": None}
@@ -403,12 +419,14 @@ def make_handler(loop: ServingLoop):
             from concurrent.futures import ThreadPoolExecutor
 
             if n == 1:
-                results = [loop.submit_and_wait(prompt, max_new, temp, guided=guided)]
+                results = [loop.submit_and_wait(prompt, max_new, temp,
+                                                guided=guided, adapter=adapter)]
             else:
                 with ThreadPoolExecutor(max_workers=n) as ex:
                     results = list(ex.map(
                         lambda _: loop.submit_and_wait(prompt, max_new, temp,
-                                                       guided=guided),
+                                                       guided=guided,
+                                                       adapter=adapter),
                         range(n)))
             choices = []
             total_completion = 0

@@ -43,6 +43,7 @@ class Request:
     pixel_mask: Optional[np.ndarray] = None
     temperature: Optional[float] = None  # None = engine default
     guided: bool = False  # constrain output with the engine's TokenFSM
+    adapter_id: int = 0  # multi-LoRA: index into the engine's AdapterRegistry
     # filled by the server
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -67,9 +68,12 @@ class BatchedEngine:
         guided_fsm=None,  # TokenFSM (engine/guided.py): requests submitted
         #                   with guided=True decode under this constraint;
         #                   others ride its transparent free state
+        adapters=None,  # AdapterRegistry (engine/multi_lora.py): resident
+        #                 task LoRAs, selected per request via submit(adapter=)
     ):
         self.cfg = cfg
         self.guided_fsm = guided_fsm
+        self.adapters = adapters
         self.B = max_lanes
         # 128 = the decode-attention kernel's minimum S block; finer rounding
         # matters at high lane counts (96 lanes x an extra 128 positions of
@@ -114,6 +118,7 @@ class BatchedEngine:
             jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
             if guided_fsm is not None else None
         )
+        self.lane_adapter = np.zeros(self.B, np.int32)  # 0 = base model
         self.queue: Deque[Request] = deque()
         self._uid = 0
         self._prefill_jit: Dict = {}
@@ -128,10 +133,12 @@ class BatchedEngine:
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
+        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0,
-                    fsm=None, gstate=None, pixel_values=None, pixel_mask=None):
+                    fsm=None, gstate=None, ml=None, lora_hot=None,
+                    pixel_values=None, pixel_mask=None):
             _, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
             # Slice ALL cache leaves (k, v and — for int8 caches — the fp32
@@ -143,12 +150,14 @@ class BatchedEngine:
             kv_pos = jnp.arange(lane_cache.k.shape[3])
             qi = jnp.arange(S)
             mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
+                   if multi else {})
             out = lm_forward(
                 params["lm"], cfg.text, inputs_embeds=embeds,
                 positions=jnp.arange(S), mask=mask,
                 cache=lane_cache, cache_pos=jnp.int32(0),
                 logit_position=true_len - 1, causal_flash=True,
-                mesh=mesh,
+                mesh=mesh, **lkw,
             )
             new_cache = jax.tree.map(
                 lambda full, ln: jax.lax.dynamic_update_slice_in_dim(full, ln, lane, axis=1),
@@ -175,10 +184,11 @@ class BatchedEngine:
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
+        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps,
-                          fsm=None, gstates=None):
+                          fsm=None, gstates=None, ml=None, lora_hot=None):
             N, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, None, None)
             # A prefill-from-0 never READS pre-existing lane state (the causal
@@ -191,12 +201,14 @@ class BatchedEngine:
             kv_pos = jnp.arange(S)
             qi = jnp.arange(S)
             mask = (kv_pos[None, :] <= qi[:, None])[None, None]
+            lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
+                   if multi else {})
             out = lm_forward(
                 params["lm"], cfg.text, inputs_embeds=embeds,
                 positions=jnp.arange(S), mask=mask,
                 cache=lane_cache, cache_pos=jnp.int32(0),
                 logit_position=true_lens - 1,  # [N]: per-row positions
-                causal_flash=True, mesh=mesh,
+                causal_flash=True, mesh=mesh, **lkw,
             )
             # duplicate lane ids (pow2 padding repeats the last request) write
             # identical rows, so the scatter is deterministic
@@ -220,11 +232,14 @@ class BatchedEngine:
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
+        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pos, active, temps, rng,
-                     fsm=None, gstate=None, *, n_steps):
+                     fsm=None, gstate=None, ml=None, lora_hot=None, *, n_steps):
             kv_pos = jnp.arange(cache.k.shape[3])
+            lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
+                   if multi else {})
 
             def step(carry, i):
                 toks, cache, pos, gstate = carry
@@ -234,7 +249,7 @@ class BatchedEngine:
                     params["lm"], cfg.text, toks[:, None],
                     positions=pos[:, None], mask=mask,
                     cache=cache, cache_pos=pos,
-                    mesh=mesh,
+                    mesh=mesh, **lkw,
                 )
                 logits = out.logits[:, -1]
                 if guided:
@@ -269,15 +284,19 @@ class BatchedEngine:
         pixel_mask: Optional[np.ndarray] = None,
         temperature: Optional[float] = None,
         guided: bool = False,
+        adapter: Optional[str] = None,
     ) -> int:
         if guided and self.guided_fsm is None:
             raise ValueError("engine was built without a guided_fsm")
+        if adapter and self.adapters is None:
+            raise ValueError("engine was built without adapters")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask,
             temperature=temperature, guided=guided,
+            adapter_id=self.adapters.resolve(adapter) if self.adapters else 0,
         ))
         return self._uid
 
@@ -351,6 +370,13 @@ class BatchedEngine:
         args = (self.params, jnp.asarray(tokens), self.cache,
                 jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
                 jnp.asarray(temps))
+        mlkw = {}
+        if self.adapters is not None:
+            ids = [group[i].adapter_id for i in rows]
+            mlkw = dict(ml=self.adapters.stacked,
+                        lora_hot=self.adapters.lane_onehot(ids))
+            for i, req in enumerate(group):
+                self.lane_adapter[lanes[i]] = req.adapter_id
         if self.guided_fsm is not None:
             f = self.guided_fsm
             g0 = np.full(Np, f.free_state, np.int32)
@@ -358,11 +384,11 @@ class BatchedEngine:
                 if group[i].guided:
                     g0[row] = f.start
             toks, self.cache, new_g = self._prefill_jit[key](
-                *args, fsm=self._fsm_args(), gstates=jnp.asarray(g0))
+                *args, fsm=self._fsm_args(), gstates=jnp.asarray(g0), **mlkw)
             self.lane_gstate = self.lane_gstate.at[
                 jnp.asarray(lanes_arr[:N])].set(new_g[:N])
         else:
-            toks, self.cache = self._prefill_jit[key](*args)
+            toks, self.cache = self._prefill_jit[key](*args, **mlkw)
         # Scatter only the N real rows: pad rows repeat lane N-1's id but draw
         # independent gumbel noise, so a duplicate-index scatter would leave a
         # nondeterministic winner in that lane (device token could diverge from
@@ -401,6 +427,10 @@ class BatchedEngine:
             kwargs = dict(pixel_values=jnp.asarray(req.pixel_values),
                           pixel_mask=jnp.asarray(req.pixel_mask))
         req_temp = self.temperature if req.temperature is None else req.temperature
+        if self.adapters is not None:
+            kwargs.update(ml=self.adapters.stacked,
+                          lora_hot=self.adapters.lane_onehot([req.adapter_id]))
+            self.lane_adapter[lane] = req.adapter_id
         if self.guided_fsm is not None:
             f = self.guided_fsm
             g0 = jnp.full((1,), f.start if req.guided else f.free_state, jnp.int32)
@@ -433,6 +463,7 @@ class BatchedEngine:
             req.done = True
             self._finished.append(req)
         self.lane_req[lane] = None
+        self.lane_adapter[lane] = 0
         if self.guided_fsm is not None:
             self.lane_gstate = self.lane_gstate.at[lane].set(
                 self.guided_fsm.free_state)
@@ -475,6 +506,9 @@ class BatchedEngine:
             dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
             if self.guided_fsm is not None else {}
         )
+        if self.adapters is not None:
+            gkw.update(ml=self.adapters.stacked,
+                       lora_hot=self.adapters.lane_onehot(self.lane_adapter))
         all_toks, last, self.cache, pos, gstate = self._decode_jit(
             self.params, self.lane_tok, self.cache,
             jnp.asarray(self.lane_pos), jnp.asarray(active),
@@ -705,9 +739,12 @@ class PagedBatchedEngine:
     def submit(self, prompt_tokens: Sequence[int], max_new_tokens: int = 256,
                stop_token_ids: Sequence[int] = (), pixel_values=None,
                pixel_mask=None, temperature: Optional[float] = None,
-               guided: bool = False) -> int:
+               guided: bool = False, adapter: Optional[str] = None) -> int:
         if guided and self.guided_fsm is None:
             raise ValueError("engine was built without a guided_fsm")
+        if adapter:
+            raise ValueError("multi-LoRA: use BatchedEngine (paged engine "
+                             "support pending)")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),

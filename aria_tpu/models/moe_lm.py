@@ -258,7 +258,20 @@ def embed_tokens(embed, tokens: Array, dtype=None) -> Array:
     return embed[tokens]
 
 
-def _lora_delta(x: Array, ab: dict, scale: float) -> Array:
+def _lora_delta(x: Array, ab: dict, scale: float,
+                onehot: Optional[Array] = None) -> Array:
+    """LoRA delta. Single adapter: a [d, r]. Multi-adapter serving
+    (engine/multi_lora.py): a [A, d, r] + ``onehot`` [A, B] selecting one
+    adapter per batch row — every adapter's rank-r delta is computed (A× a
+    tiny cost) and the per-row one selected, keeping the step jit-static."""
+    if onehot is not None and ab["a"].ndim == 3:
+        if x.ndim == 2:  # flattened tokens [T, d], onehot [A, T]
+            h = jnp.einsum("td,adr->atr", x, ab["a"])
+            out = jnp.einsum("atr,arf->atf", h, ab["b"])
+            return scale * jnp.einsum("atf,at->tf", out, onehot).astype(x.dtype)
+        h = jnp.einsum("bsd,adr->absr", x, ab["a"])
+        out = jnp.einsum("absr,arf->absf", h, ab["b"])
+        return scale * jnp.einsum("absf,ab->bsf", out, onehot).astype(x.dtype)
     h = jnp.einsum("...d,dr->...r", x, ab["a"])
     return scale * jnp.einsum("...r,rf->...f", h, ab["b"]).astype(x.dtype)
 
@@ -275,6 +288,7 @@ def _attention(
     layer_idx: Optional[Array] = None,  # scalar int32: which layer's cache plane
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    lora_onehot: Optional[Array] = None,  # [A, B] multi-adapter row selector
     use_flash: bool = False,  # causal flash over the current k/v (prefill/train)
     dense_q4: Optional[dict] = None,  # int4 wqkv/wo stacks (kept out of scan xs)
     cp_mesh=None,  # context-parallel mesh: attention via Ulysses all-to-all
@@ -345,7 +359,7 @@ def _attention(
     else:
         qkv = qlinear(x, layer["wqkv"], "bsd,df->bsf")
     if lora and "wqkv" in lora:
-        qkv = qkv + _lora_delta(x, lora["wqkv"], lora_scale)
+        qkv = qkv + _lora_delta(x, lora["wqkv"], lora_scale, lora_onehot)
     qkv = qkv.astype(x.dtype)
     q_size = cfg.q_size
     kv_size = cfg.num_kv_heads * cfg.head_dim
@@ -399,7 +413,7 @@ def _attention(
         else:
             proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
         if lora and "wo" in lora:
-            proj = proj + _lora_delta(out, lora["wo"], lora_scale)
+            proj = proj + _lora_delta(out, lora["wo"], lora_scale, lora_onehot)
         return proj.astype(x.dtype), new_cache
 
     if cache_kv is not None:
@@ -601,7 +615,7 @@ def _attention(
     else:
         proj = qlinear(out, layer["wo"], "bsf,fd->bsd")
     if lora and "wo" in lora:
-        proj = proj + _lora_delta(out, lora["wo"], lora_scale)
+        proj = proj + _lora_delta(out, lora["wo"], lora_scale, lora_onehot)
     return proj.astype(x.dtype), new_cache
 
 
@@ -616,6 +630,7 @@ def _moe_ffn(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     mesh=None,  # expert parallelism when mesh["expert"] > 1
+    lora_onehot=None,  # [A, T] token-level multi-adapter selector
 ):
     """MoE FFN + shared experts (reference moe_lm.py:548-577).
 
@@ -689,11 +704,11 @@ def _moe_ffn(
             expert_out = expert_out[:T]
         shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
         if lora and "shared_w1" in lora:
-            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
+            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale, lora_onehot)
         shared_h = glu(shared_h.astype(x.dtype))
         shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
         if lora and "shared_w2" in lora:
-            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
+            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale, lora_onehot)
         out = expert_out + shared_out.astype(x.dtype)
         return out.reshape(B, S, D), z_loss, aux_loss
 
@@ -703,14 +718,29 @@ def _moe_ffn(
     # sequential lax.map. Exact: routing is per-token; eval-mode losses are 0.
     MOE_CHUNK = 8192
     if T > MOE_CHUNK and T % MOE_CHUNK == 0 and not training:
-        def run_chunk(xc):  # [MOE_CHUNK, D]
-            out_c, zl, al = _moe_ffn(
-                layer, cfg, xc[None], training, w1_full, w2_full, layer_idx,
-                lora, lora_scale, mesh,
-            )
-            return out_c[0], zl, al
+        if lora_onehot is None:
+            def run_chunk(xc):  # [MOE_CHUNK, D]
+                out_c, zl, al = _moe_ffn(
+                    layer, cfg, xc[None], training, w1_full, w2_full, layer_idx,
+                    lora, lora_scale, mesh,
+                )
+                return out_c[0], zl, al
 
-        outs, zls, als = jax.lax.map(run_chunk, flat.reshape(-1, MOE_CHUNK, D))
+            outs, zls, als = jax.lax.map(run_chunk, flat.reshape(-1, MOE_CHUNK, D))
+        else:
+            A = lora_onehot.shape[0]
+            oh = lora_onehot.reshape(A, -1, MOE_CHUNK).transpose(1, 0, 2)
+
+            def run_chunk(xs_c):
+                xc, oc = xs_c  # [MOE_CHUNK, D], [A, MOE_CHUNK]
+                out_c, zl, al = _moe_ffn(
+                    layer, cfg, xc[None], training, w1_full, w2_full, layer_idx,
+                    lora, lora_scale, mesh, lora_onehot=oc,
+                )
+                return out_c[0], zl, al
+
+            outs, zls, als = jax.lax.map(
+                run_chunk, (flat.reshape(-1, MOE_CHUNK, D), oh))
         return outs.reshape(B, S, D), jnp.sum(zls), jnp.sum(als)
 
     routing = route_topk(
@@ -834,6 +864,7 @@ def _moe_ffn(
             expert_out = experts_grouped(
                 *args,
                 lora_w1=lora.get("w1"), lora_w2=lora.get("w2"), lora_scale=lora_scale,
+                lora_onehot=lora_onehot,
             )
         elif T <= GATHER_PATH_MAX_TOKENS:
             expert_out = experts_gather(*args)
@@ -852,11 +883,11 @@ def _moe_ffn(
     else:
         shared_h = qlinear(flat, layer["shared_w1"], "td,df->tf")
         if lora and "shared_w1" in lora:
-            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale)
+            shared_h = shared_h + _lora_delta(flat, lora["shared_w1"], lora_scale, lora_onehot)
         shared_h = glu(shared_h.astype(x.dtype))
         shared_out = qlinear(shared_h, layer["shared_w2"], "tf,fd->td")
         if lora and "shared_w2" in lora:
-            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale)
+            shared_out = shared_out + _lora_delta(shared_h, lora["shared_w2"], lora_scale, lora_onehot)
         out = expert_out + shared_out.astype(x.dtype)
     return out.reshape(B, S, D), routing.z_loss, routing.aux_loss
 
@@ -875,6 +906,7 @@ def lm_forward(
     logit_position: Optional[Array] = None,  # scalar: compute logits at this position only
     lora: Optional[dict] = None,  # stacked-[L] adapters: {"layers": {name: {"a","b"}}}
     lora_scale: float = 0.0,
+    lora_onehot: Optional["Array"] = None,  # [A, B] multi-adapter lane selector
     remat: bool = False,  # rematerialize each layer in backward (grad ckpt)
     causal_flash: Optional[bool] = None,  # caller asserts pure-causal-from-0 attention
     mesh=None,  # context parallelism when mesh has a `context` axis > 1
@@ -923,6 +955,11 @@ def lm_forward(
     xs_layers = {k: v for k, v in layers.items() if k not in exclude}
     w1_full, w2_full = layers["w1"], layers["w2"]
     lora_layers = lora["layers"] if lora is not None else None
+    # Multi-adapter serving (engine/multi_lora.py): attention consumes the
+    # lane-level [A, B] selector; the MoE gets its token-level expansion.
+    tok_onehot = (
+        jnp.repeat(lora_onehot, S, axis=1) if lora_onehot is not None else None
+    )
 
     if causal_flash is None:
         causal_flash = mask is None and cache is None
@@ -957,13 +994,14 @@ def lm_forward(
             normed = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
             out, new_kv = _attention(
                 layer, cfg, normed, cos_b, sin_b, mask_b, kv, pos, l_idx, lr,
-                lora_scale, use_flash, dense_q4, cp_mesh, page_table, mesh,
-                fresh_causal,
+                lora_scale, lora_onehot, use_flash, dense_q4, cp_mesh,
+                page_table, mesh, fresh_causal,
             )
             h = h + out
             ffn_out, z_loss, aux_loss = _moe_ffn(
                 layer, cfg, rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps), training,
                 w1, w2, l_idx, lr, lora_scale, moe_mesh,
+                lora_onehot=tok_onehot,
             )
             h = h + ffn_out
             if has_cache:

@@ -132,8 +132,10 @@ def experts_grouped(
     w2: Array,  # [E, I, D]
     capacity: Optional[int] = None,
     lora_w1: Optional[dict] = None,  # {"a": [E, D, r], "b": [E, r, 2I]}
+    #                                  (multi-adapter: [A, E, D, r] etc.)
     lora_w2: Optional[dict] = None,  # {"a": [E, I, r], "b": [E, r, D]}
     lora_scale: float = 0.0,
+    lora_onehot: Optional[Array] = None,  # [A, T]: per-token adapter selector
 ) -> Array:
     """Prefill/train path: capacity dispatch + batched GEMM over experts.
 
@@ -156,15 +158,38 @@ def experts_grouped(
     buf = jnp.zeros((E * C + 1, D), x.dtype).at[slot_dest].set(x[token_ids])
     buf = buf[: E * C].reshape(E, C, D)
 
+    multi = lora_onehot is not None and (
+        (lora_w1 or lora_w2) and
+        (lora_w1 or lora_w2)["a"].ndim == 4
+    )
+    if multi:
+        # per-adapter one-hot scattered into the expert buffers: each
+        # adapter's rank-r delta is computed over all buffers (A x a tiny
+        # cost) and selected per row — rows from different requests can sit
+        # in the same expert's buffer
+        mhot = jnp.zeros((E * C + 1, lora_onehot.shape[0]), jnp.float32)
+        mhot = mhot.at[slot_dest].set(lora_onehot.T[token_ids])
+        mhot = mhot[: E * C].reshape(E, C, -1)
+
     h = jnp.einsum("ecd,efd->ecf", buf, w1, preferred_element_type=jnp.float32)
     if lora_w1 is not None:
-        hr = jnp.einsum("ecd,edr->ecr", buf, lora_w1["a"])
-        h = h + lora_scale * jnp.einsum("ecr,erf->ecf", hr, lora_w1["b"])
+        if multi:
+            hr = jnp.einsum("ecd,aedr->aecr", buf, lora_w1["a"])
+            hd = jnp.einsum("aecr,aerf->aecf", hr, lora_w1["b"])
+            h = h + lora_scale * jnp.einsum("aecf,eca->ecf", hd, mhot)
+        else:
+            hr = jnp.einsum("ecd,edr->ecr", buf, lora_w1["a"])
+            h = h + lora_scale * jnp.einsum("ecr,erf->ecf", hr, lora_w1["b"])
     h = glu(h.astype(x.dtype))
     out = jnp.einsum("ecf,efd->ecd", h, w2, preferred_element_type=jnp.float32)
     if lora_w2 is not None:
-        outr = jnp.einsum("ecf,efr->ecr", h, lora_w2["a"])
-        out = out + lora_scale * jnp.einsum("ecr,erd->ecd", outr, lora_w2["b"])
+        if multi:
+            outr = jnp.einsum("ecf,aefr->aecr", h, lora_w2["a"])
+            outd = jnp.einsum("aecr,aerd->aecd", outr, lora_w2["b"])
+            out = out + lora_scale * jnp.einsum("aecd,eca->ecd", outd, mhot)
+        else:
+            outr = jnp.einsum("ecf,efr->ecr", h, lora_w2["a"])
+            out = out + lora_scale * jnp.einsum("ecr,erd->ecd", outr, lora_w2["b"])
     out = out.astype(x.dtype).reshape(E * C, D)
     out = jnp.concatenate([out, jnp.zeros((1, D), x.dtype)], axis=0)
 

@@ -125,6 +125,73 @@ class TestStreaming:
         assert len(events) >= 2
 
 
+class TestMultiLoraHTTP:
+    @pytest.fixture(scope="class")
+    def lora_server(self):
+        import numpy as np
+
+        from aria_tpu.engine.multi_lora import AdapterRegistry
+        from aria_tpu.train.lora import LoraConfig, init_lora_params
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        lc = LoraConfig(rank=8, alpha=16.0)
+        lora = init_lora_params(jax.random.PRNGKey(7), TINY, lc)["lm"]
+        rng = np.random.RandomState(7)
+        lora = jax.tree.map(
+            lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.05),
+            lora)
+        reg = AdapterRegistry({"refcoco": lora}, scales={"refcoco": lc.scale})
+        engine = BatchedEngine(params, TINY, max_lanes=2, max_seq_len=128,
+                               temperature=0.0, decode_chunk=4,
+                               cache_dtype=jnp.float32, adapters=reg)
+        loop = ServingLoop(engine, ByteTokenizer())
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(loop))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_port}"
+        httpd.shutdown()
+        loop.shutdown()
+
+    def _chat(self, url, model, prompt="hello"):
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            data=json.dumps({"model": model, "max_tokens": 6,
+                             "temperature": 0.0,
+                             "messages": [{"role": "user", "content": prompt}],
+                             }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def test_models_lists_adapters(self, lora_server):
+        with urllib.request.urlopen(lora_server + "/v1/models", timeout=30) as r:
+            data = json.loads(r.read())
+        ids = [m["id"] for m in data["data"]]
+        assert ids == ["aria-tpu", "refcoco"]
+
+    def test_adapter_selected_by_model_field(self, lora_server):
+        base = self._chat(lora_server, "aria-tpu")
+        tuned = self._chat(lora_server, "refcoco")
+        # the adapter visibly changes greedy output; base stays base
+        base2 = self._chat(lora_server, "aria-tpu")
+        assert base["choices"][0]["message"] == base2["choices"][0]["message"]
+        assert (tuned["choices"][0]["message"]["content"]
+                != base["choices"][0]["message"]["content"])
+
+    def test_unknown_model_400(self, lora_server):
+        req = urllib.request.Request(
+            lora_server + "/v1/chat/completions",
+            data=json.dumps({"model": "nope", "max_tokens": 2,
+                             "messages": [{"role": "user", "content": "x"}],
+                             }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
 class TestStopStrings:
     def test_nonstream_stop_truncates(self, server):
         base = post(server, {"prompt": "stop test", "max_new_tokens": 8,
