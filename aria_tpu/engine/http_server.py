@@ -97,8 +97,9 @@ class ServingLoop:
 
     def _submit(self, prompt: str, max_new_tokens: int,
                 temperature: Optional[float], guided: bool = False,
-                adapter: Optional[str] = None):
-        out = self.processor(prompt, max_image_size=self.max_image_size)
+                adapter: Optional[str] = None, images=None):
+        out = self.processor(prompt, images=images or None,
+                             max_image_size=self.max_image_size)
         stop_ids = tuple(
             t for t in [getattr(self.tokenizer, "eos_token_id", None)]
             if t is not None
@@ -107,17 +108,18 @@ class ServingLoop:
             out.input_ids[0].tolist(), max_new_tokens=max_new_tokens,
             stop_token_ids=stop_ids, temperature=temperature, guided=guided,
             adapter=adapter,
+            pixel_values=out.pixel_values, pixel_mask=out.pixel_mask,
         )
         return uid, self.engine.queue[-1]
 
     def submit_and_wait(self, prompt: str, max_new_tokens: int = 256,
                         temperature: Optional[float] = None,
                         timeout: float = 600.0, guided: bool = False,
-                        adapter: Optional[str] = None):
+                        adapter: Optional[str] = None, images=None):
         ev = threading.Event()
         with self._lock:
             uid, _ = self._submit(prompt, max_new_tokens, temperature, guided,
-                                  adapter)
+                                  adapter, images)
             self._events[uid] = ev
         if not ev.wait(timeout):
             with self._lock:
@@ -137,12 +139,12 @@ class ServingLoop:
     def submit_stream(self, prompt: str, max_new_tokens: int = 256,
                       temperature: Optional[float] = None,
                       timeout: float = 600.0, guided: bool = False,
-                      adapter: Optional[str] = None):
+                      adapter: Optional[str] = None, images=None):
         """Returns (uid, iterator of per-chunk token-id lists)."""
         q: queue_mod.Queue = queue_mod.Queue()
         with self._lock:
             uid, req = self._submit(prompt, max_new_tokens, temperature, guided,
-                                    adapter)
+                                    adapter, images)
             self._streams[uid] = q
             self._stream_reqs[uid] = req
             self._sent[uid] = 0
@@ -205,17 +207,43 @@ class ServingLoop:
         self._thread.join(timeout=5)
 
 
-def _chat_to_prompt(messages: List[dict]) -> str:
-    """OpenAI chat messages -> ChatML prompt (data/chat.py format)."""
+def _decode_image(url: str):
+    """data:image/...;base64,XXX (or bare base64) -> PIL image."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    if url.startswith("data:"):
+        url = url.split(",", 1)[1]
+    return Image.open(io.BytesIO(base64.b64decode(url))).convert("RGB")
+
+
+def _chat_to_prompt(messages: List[dict]):
+    """OpenAI chat messages -> (ChatML prompt, PIL images).
+
+    Image content (``{"type": "image_url", "image_url": {"url": "data:..."}}``)
+    becomes one ``<|img|>`` placeholder in fim wrappers (data/chat.py);
+    AriaProcessor then expands it by crop count and per-crop tokens."""
     from aria_tpu.data.chat import build_inference_prompt
 
-    norm = []
+    norm, images = [], []
     for m in messages:
         content = m.get("content", "")
         if isinstance(content, str):
             content = [{"type": "text", "text": content}]
-        norm.append({"role": m["role"], "content": content})
-    return build_inference_prompt(norm)
+        entries = []
+        for c in content:
+            if c.get("type") == "image_url":
+                url = c["image_url"]["url"] if isinstance(c.get("image_url"), dict) else c["image_url"]
+                images.append(_decode_image(url))
+                entries.append({"type": "image"})
+            else:
+                entries.append(c)
+        norm.append({"role": m["role"], "content": entries})
+    # one placeholder per image here; the processor applies the real
+    # crop-count + 128/256 token expansion (processing_aria.py:160-188)
+    return build_inference_prompt(norm, num_crops=[1] * len(images)), images
 
 
 def make_handler(loop: ServingLoop):
@@ -277,14 +305,15 @@ def make_handler(loop: ServingLoop):
             return json.loads(self.rfile.read(length) or b"{}")
 
         def _stream_text(self, prompt, max_new, temperature, guided=False,
-                         stop_strings=(), adapter=None):
+                         stop_strings=(), adapter=None, images=None):
             """Shared incremental detokenizer for both streaming APIs: yields
             (delta_text, token_ids) per decode chunk. Stop strings truncate
             the stream and CANCEL the request so the lane frees immediately
             (the reference pays a per-step detokenize check instead,
             gptfast/generate.py:324-335)."""
             uid, deltas = loop.submit_stream(prompt, max_new, temperature,
-                                             guided=guided, adapter=adapter)
+                                             guided=guided, adapter=adapter,
+                                             images=images)
             toks: List[int] = []
             sent_text = ""
             stopped = False
@@ -338,16 +367,18 @@ def make_handler(loop: ServingLoop):
             temp = payload.get("temperature")
             stops = self._stops(payload)
             adapter = payload.get("adapter")
+            images = [_decode_image(u) for u in payload.get("images", [])]
             if payload.get("stream"):
                 self._sse(
                     {"text": d, "tokens": t}
                     for d, t in self._stream_text(prompt, max_new, temp,
                                                   stop_strings=stops,
-                                                  adapter=adapter)
+                                                  adapter=adapter,
+                                                  images=images)
                 )
                 return
             result = loop.submit_and_wait(prompt, max_new, temp,
-                                          adapter=adapter)
+                                          adapter=adapter, images=images)
             cut = min((i for i in (result["text"].find(s) for s in stops)
                        if i >= 0), default=-1)
             if cut >= 0:
@@ -355,8 +386,9 @@ def make_handler(loop: ServingLoop):
             self._json(200, result)
 
         def _oai_completions(self, payload, *, chat: bool):
+            images = []
             if chat:
-                prompt = _chat_to_prompt(payload["messages"])
+                prompt, images = _chat_to_prompt(payload["messages"])
             else:
                 prompt = payload["prompt"]
             max_new = int(payload.get("max_tokens", payload.get("max_new_tokens", 256)))
@@ -392,7 +424,8 @@ def make_handler(loop: ServingLoop):
                     for delta, _toks in self._stream_text(prompt, max_new, temp,
                                                           guided=guided,
                                                           stop_strings=stops,
-                                                          adapter=adapter):
+                                                          adapter=adapter,
+                                                          images=images):
                         choice = (
                             {"index": 0, "delta": {"content": delta},
                              "finish_reason": None}
@@ -420,13 +453,15 @@ def make_handler(loop: ServingLoop):
 
             if n == 1:
                 results = [loop.submit_and_wait(prompt, max_new, temp,
-                                                guided=guided, adapter=adapter)]
+                                                guided=guided, adapter=adapter,
+                                                images=images)]
             else:
                 with ThreadPoolExecutor(max_workers=n) as ex:
                     results = list(ex.map(
                         lambda _: loop.submit_and_wait(prompt, max_new, temp,
                                                        guided=guided,
-                                                       adapter=adapter),
+                                                       adapter=adapter,
+                                                       images=images),
                         range(n)))
             choices = []
             total_completion = 0

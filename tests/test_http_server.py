@@ -216,6 +216,78 @@ class TestStopStrings:
         assert text == base["text"].split(marker)[0]
 
 
+def _png_b64(size=8):
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (size, size, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+class TestMultimodalHTTP:
+    def test_chat_to_prompt_extracts_images(self):
+        from aria_tpu.engine.http_server import _chat_to_prompt
+
+        prompt, images = _chat_to_prompt([
+            {"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": _png_b64()}},
+                {"type": "text", "text": "describe"},
+            ]},
+        ])
+        assert len(images) == 1 and images[0].size == (8, 8)
+        assert "<fim_prefix><|img|><fim_suffix>" in prompt
+        assert prompt.endswith("<|im_start|>assistant\n")
+
+    def test_images_flow_through_serving_loop(self):
+        """A multimodal request travels ServingLoop -> processor -> engine
+        with pixel tensors intact (tiny-model-compatible fake processor)."""
+        import numpy as np
+
+        from aria_tpu.engine.http_server import ServingLoop
+
+        cfg = TINY
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        engine = BatchedEngine(params, cfg, max_lanes=1, max_seq_len=128,
+                               temperature=0.0, decode_chunk=4,
+                               cache_dtype=jnp.float32)
+        loop = ServingLoop(engine, ByteTokenizer())
+
+        S_img = cfg.vision.image_size
+        n_q = cfg.projector.query_count(cfg.vision.patches_per_side**2)
+        seen = {}
+
+        class FakeProc:
+            def __call__(self, prompt, images=None, max_image_size=980):
+                from aria_tpu.data.processor import ProcessorOutput
+
+                seen["images"] = images
+                ids = [4] + [cfg.image_token_id] * n_q + [7]
+                return ProcessorOutput(
+                    np.asarray([ids], np.int32),
+                    np.ones((1, len(ids)), bool),
+                    np.random.RandomState(3).randn(1, 3, S_img, S_img).astype(np.float32),
+                    np.ones((1, S_img, S_img), bool),
+                )
+
+        loop.processor = FakeProc()
+        try:
+            from aria_tpu.engine.http_server import _decode_image
+
+            img = _decode_image(_png_b64())
+            out = loop.submit_and_wait("<|img|> describe", max_new_tokens=3,
+                                       images=[img])
+            assert len(out["tokens"]) >= 1 and out["error"] is None
+            assert seen["images"] is not None and len(seen["images"]) == 1
+        finally:
+            loop.shutdown()
+
+
 class TestOpenAICompat:
     def test_models(self, server):
         with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
