@@ -84,13 +84,11 @@ def main(argv=None):
             scales[name] = LoraConfig(rank=r, alpha=alpha).scale
         registry = AdapterRegistry(named, scales)
     if args.paged:
-        if registry is not None:
-            raise SystemExit("--adapter requires the contiguous engine")
         engine = PagedBatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
             page_size=args.page_size, temperature=args.temperature,
             top_k=args.top_k, prefix_cache=not args.no_prefix_cache,
-            guided_fsm=fsm,
+            guided_fsm=fsm, adapters=registry,
         )
     else:
         engine = BatchedEngine(

@@ -596,6 +596,7 @@ class PagedBatchedEngine:
         rng_seed: int = 0,
         prefix_cache: bool = True,
         guided_fsm=None,  # TokenFSM: see BatchedEngine
+        adapters=None,  # AdapterRegistry: see BatchedEngine
     ):
         from aria_tpu.engine.paged import PagePool, PagedKVCache
 
@@ -629,6 +630,8 @@ class PagedBatchedEngine:
             jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
             if guided_fsm is not None else None
         )
+        self.adapters = adapters
+        self.lane_adapter = np.zeros(self.B, np.int32)  # 0 = base model
 
         self.lane_req: List[Optional[Request]] = [None] * self.B
         self.lane_state = [None] * self.B  # PREFILL | DECODE | None
@@ -659,20 +662,23 @@ class PagedBatchedEngine:
         cfg = self.cfg
         C, K = self.C, self.S
         guided = self.guided_fsm is not None
+        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_chunk(params, embeds, cache, pt_rows, offsets, logit_at, temp, rng,
-                          fsm=None, gstate=None):
+                          fsm=None, gstate=None, ml=None, lora_hot=None):
             # embeds: [N, C, D]; pt_rows: [N, MAXP]; offsets/logit_at/temp: [N]
             kv_pos = jnp.arange(K)
             qi = offsets[:, None] + jnp.arange(C)[None, :]  # [N, C]
             mask = (kv_pos[None, None, :] <= qi[:, :, None])[:, None]  # [N,1,C,K]
+            lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
+                   if multi else {})
             out = lm_forward(
                 params["lm"], cfg.text, inputs_embeds=embeds,
                 positions=qi, mask=mask,
                 cache=cache, cache_pos=offsets,
                 logit_position=jnp.clip(logit_at, 0, C - 1),
-                page_table=pt_rows, causal_flash=False,
+                page_table=pt_rows, causal_flash=False, **lkw,
             )
             logits = out.logits[:, 0]
             if guided:
@@ -693,11 +699,14 @@ class PagedBatchedEngine:
         cfg = self.cfg
         K = self.S
         guided = self.guided_fsm is not None
+        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pt, pos, active, temps, rng,
-                     fsm=None, gstate=None, *, n_steps):
+                     fsm=None, gstate=None, ml=None, lora_hot=None, *, n_steps):
             kv_pos = jnp.arange(K)
+            lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
+                   if multi else {})
 
             def step(carry, i):
                 toks, cache, pos, gstate = carry
@@ -706,7 +715,7 @@ class PagedBatchedEngine:
                 out = lm_forward(
                     params["lm"], cfg.text, toks[:, None],
                     positions=pos[:, None], mask=mask,
-                    cache=cache, cache_pos=pos, page_table=pt,
+                    cache=cache, cache_pos=pos, page_table=pt, **lkw,
                 )
                 logits = out.logits[:, -1]
                 if guided:
@@ -742,15 +751,15 @@ class PagedBatchedEngine:
                guided: bool = False, adapter: Optional[str] = None) -> int:
         if guided and self.guided_fsm is None:
             raise ValueError("engine was built without a guided_fsm")
-        if adapter:
-            raise ValueError("multi-LoRA: use BatchedEngine (paged engine "
-                             "support pending)")
+        if adapter and self.adapters is None:
+            raise ValueError("engine was built without adapters")
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask, temperature=temperature,
             guided=guided,
+            adapter_id=self.adapters.resolve(adapter) if self.adapters else 0,
         ))
         return self._uid
 
@@ -797,7 +806,10 @@ class PagedBatchedEngine:
         shared: list = []
         keys: Optional[list] = None
         if self.prefix_cache and req.pixel_values is None:
-            keys = self._page_keys(req.prompt_tokens)
+            # adapter id salts the keys: LoRA changes wqkv, so the SAME
+            # prompt under different adapters has different KV — pages must
+            # never be shared across adapters
+            keys = self._page_keys(req.prompt_tokens, salt=req.adapter_id)
             for key in keys[: (true_len - 1) // self.PS]:
                 page = self.pool.lookup(key)
                 if page is None:
@@ -814,6 +826,7 @@ class PagedBatchedEngine:
         self.lane_pages[lane] = pages
         self.lane_keys[lane] = keys
         self.lane_req[lane] = req
+        self.lane_adapter[lane] = req.adapter_id
         self.lane_state[lane] = self.PREFILL
         self.lane_pos[lane] = len(shared) * self.PS  # skip cached chunks
         req.cached_tokens = len(shared) * self.PS
@@ -822,13 +835,14 @@ class PagedBatchedEngine:
         self.lane_embeds[lane] = self._embeds_for(req, n_chunks * self.C)
         return True
 
-    def _page_keys(self, tokens: Sequence[int]) -> list:
+    def _page_keys(self, tokens: Sequence[int], salt: int = 0) -> list:
         """Chain hash per FULL prompt page: key i commits to tokens[0 : (i+1)*PS],
         so equal keys imply equal positions AND equal history — the cached
-        KV (absolute-position RoPE) is valid verbatim."""
+        KV (absolute-position RoPE) is valid verbatim. ``salt`` namespaces
+        the keys (per adapter: LoRA-altered KV is content-distinct)."""
         import hashlib
 
-        h = hashlib.sha1()
+        h = hashlib.sha1(np.int32(salt).tobytes())
         keys = []
         for i in range(len(tokens) // self.PS):
             h.update(np.asarray(
@@ -862,6 +876,12 @@ class PagedBatchedEngine:
         args = (self.params, embeds, self.cache,
                 jnp.asarray(self.page_table[rows]), jnp.asarray(offsets),
                 jnp.asarray(logit_at), jnp.asarray(temps), rng)
+        mlkw = {}
+        if self.adapters is not None:
+            mlkw = dict(
+                ml=self.adapters.stacked,
+                lora_hot=self.adapters.lane_onehot(self.lane_adapter[rows]),
+            )
         new_g = None
         if self.guided_fsm is not None:
             f = self.guided_fsm
@@ -869,9 +889,9 @@ class PagedBatchedEngine:
                 [f.start if self.lane_req[l].guided else f.free_state
                  for l in rows], np.int32)
             toks, self.cache, new_g = self._chunk_jit(
-                *args, fsm=self._fsm_args(), gstate=jnp.asarray(g0))
+                *args, fsm=self._fsm_args(), gstate=jnp.asarray(g0), **mlkw)
         else:
-            toks, self.cache = self._chunk_jit(*args)
+            toks, self.cache = self._chunk_jit(*args, **mlkw)
         for idx, lane in enumerate(lanes):
             o = int(self.lane_pos[lane]) + self.C
             self.lane_pos[lane] = o
@@ -923,6 +943,7 @@ class PagedBatchedEngine:
         self.lane_req[lane] = None
         self.lane_state[lane] = None
         self.lane_embeds[lane] = None
+        self.lane_adapter[lane] = 0
         if self.guided_fsm is not None:
             self.lane_gstate = self.lane_gstate.at[lane].set(
                 self.guided_fsm.free_state)
@@ -968,6 +989,11 @@ class PagedBatchedEngine:
                 dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
                 if self.guided_fsm is not None else {}
             )
+            if self.adapters is not None:
+                gkw.update(
+                    ml=self.adapters.stacked,
+                    lora_hot=self.adapters.lane_onehot(self.lane_adapter),
+                )
             all_toks, last, self.cache, pos, gstate = self._decode_jit(
                 self.params, self.lane_tok, self.cache,
                 jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),

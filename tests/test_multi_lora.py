@@ -131,6 +131,38 @@ class TestEngineMultiLora:
         (f1,) = multi.run_until_complete()
         assert f0.generated == f1.generated
 
+    def test_paged_engine_adapters_and_prefix_isolation(self):
+        """Paged engine: adapter parity vs the cacheless reference, and the
+        prefix cache must NOT share pages across adapters — LoRA'd wqkv
+        means the same prompt has different KV under each adapter."""
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        params = make_params()
+        lora1, lc1 = make_adapter(1)
+        reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
+        srv = PagedBatchedEngine(params, TINY, max_lanes=2, max_seq_len=256,
+                                 page_size=32, prefill_chunk=32,
+                                 temperature=0.0, decode_chunk=3,
+                                 cache_dtype=jnp.float32, adapters=reg)
+        prompt = [7 + (i % 90) for i in range(70)]  # 2 full pages, 3 chunks
+        n = 5
+        exp_t1 = _greedy_full(params, prompt, n, lora1, lc1.scale)
+        exp_base = _greedy_full(params, prompt, n)
+
+        u1 = srv.submit(prompt, max_new_tokens=n, adapter="t1")
+        u0 = srv.submit(prompt, max_new_tokens=n)
+        fin = {r.uid: r for r in srv.run_until_complete()}
+        assert fin[u1].generated == exp_t1, (fin[u1].generated, exp_t1)
+        assert fin[u0].generated == exp_base
+        # identical tokens but different adapters: no cross-adapter reuse
+        assert fin[u1].cached_tokens == 0 and fin[u0].cached_tokens == 0
+
+        # same adapter resubmits DO reuse, and stay correct
+        u2 = srv.submit(prompt, max_new_tokens=n, adapter="t1")
+        (f2,) = srv.run_until_complete()
+        assert f2.uid == u2 and f2.cached_tokens == 64
+        assert f2.generated == exp_t1
+
     def test_unknown_adapter_rejected(self):
         params = make_params()
         lora1, lc1 = make_adapter(1)
