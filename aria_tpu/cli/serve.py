@@ -32,6 +32,9 @@ def main(argv=None):
                     help="compile a JSON-Schema TokenFSM (OpenAI structured "
                     "outputs: schema-ordered, all-required properties); "
                     "guided requests conform to this schema exactly")
+    ap.add_argument("--logprobs", type=int, default=0, metavar="K",
+                    help="report per-token logprobs with K alternatives "
+                    "(OpenAI completions `logprobs` field)")
     ap.add_argument("--adapter", action="append", default=[],
                     metavar="NAME=PATH[:RANK[:ALPHA]]",
                     help="serve a LoRA adapter (repeatable): requests select "
@@ -94,7 +97,7 @@ def main(argv=None):
         engine = BatchedEngine(
             params, cfg, max_lanes=args.max_lanes, max_seq_len=args.max_seq_len,
             temperature=args.temperature, top_k=args.top_k, guided_fsm=fsm,
-            adapters=registry,
+            adapters=registry, logprobs_topk=args.logprobs or None,
         )
     serve(engine, tokenizer, host=args.host, port=args.port)
 

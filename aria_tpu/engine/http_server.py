@@ -133,8 +133,12 @@ class ServingLoop:
             raise TimeoutError(f"request {uid} timed out")
         req = self._results.pop(uid)
         text = self.tokenizer.decode(req.generated).split("<|im_end|>")[0]
-        return {"text": text, "tokens": req.generated, "uid": uid,
-                "error": req.error}
+        out = {"text": text, "tokens": req.generated, "uid": uid,
+               "error": req.error}
+        if req.logprobs:
+            out["logprobs"] = req.logprobs
+            out["top_logprobs"] = req.top_logprobs
+        return out
 
     def submit_stream(self, prompt: str, max_new_tokens: int = 256,
                       temperature: Optional[float] = None,
@@ -473,12 +477,23 @@ def make_handler(loop: ServingLoop):
                 total_completion += len(result["tokens"])
                 finish = ("stop" if cut >= 0 else
                           "length" if len(result["tokens"]) >= max_new else "stop")
-                choices.append(
+                choice = (
                     {"index": i, "finish_reason": finish,
                      "message": {"role": "assistant", "content": result["text"]}}
                     if chat else
                     {"index": i, "finish_reason": finish, "text": result["text"]}
                 )
+                if payload.get("logprobs") and "logprobs" in result:
+                    dec = loop.tokenizer.decode
+                    choice["logprobs"] = {
+                        "tokens": [dec([t]) for t in result["tokens"]],
+                        "token_logprobs": result["logprobs"],
+                        "top_logprobs": [
+                            {dec([t]): lp for t, lp in d.items()}
+                            for d in result["top_logprobs"]
+                        ],
+                    }
+                choices.append(choice)
             n_prompt = len(loop.tokenizer.encode(prompt))
             usage = {"prompt_tokens": n_prompt,
                      "completion_tokens": total_completion,

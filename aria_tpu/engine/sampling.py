@@ -54,3 +54,18 @@ def sample(
     sampled = jnp.argmax(scaled + gumbel, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temp <= 0.0, greedy, sampled).astype(jnp.int32)
+
+
+def token_logprobs(logits, toks, k: int = 5):
+    """Natural-log model probabilities for OpenAI-style ``logprobs``.
+
+    Returns (chosen [B], top_ids [B, k], top_lps [B, k]) under the RAW
+    (pre-temperature) distribution — the convention OpenAI reports.
+    Top alternatives use approx_max_k (no full-vocab sort on the TPU)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logp, toks[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    top_lps, top_ids = lax.approx_max_k(logp, k=k)
+    return chosen, top_ids.astype(jnp.int32), top_lps

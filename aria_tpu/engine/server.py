@@ -49,6 +49,10 @@ class Request:
     done: bool = False
     error: Optional[str] = None
     cached_tokens: int = 0  # prompt tokens served from the prefix cache
+    # engine built with logprobs_topk=K: per generated token, its log-prob
+    # under the raw (pre-temperature) distribution + the top-K alternatives
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[dict] = dataclasses.field(default_factory=list)
 
 
 class BatchedEngine:
@@ -70,10 +74,13 @@ class BatchedEngine:
         #                   others ride its transparent free state
         adapters=None,  # AdapterRegistry (engine/multi_lora.py): resident
         #                 task LoRAs, selected per request via submit(adapter=)
+        logprobs_topk: Optional[int] = None,  # report per-token logprobs
+        #                 (+ top-K alternatives) on every request
     ):
         self.cfg = cfg
         self.guided_fsm = guided_fsm
         self.adapters = adapters
+        self.logprobs_topk = logprobs_topk
         self.B = max_lanes
         # 128 = the decode-attention kernel's minimum S block; finer rounding
         # matters at high lane counts (96 lanes x an extra 128 positions of
@@ -134,6 +141,7 @@ class BatchedEngine:
         mesh = self.mesh
         guided = self.guided_fsm is not None
         multi = self.adapters is not None
+        lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0,
@@ -169,9 +177,15 @@ class BatchedEngine:
 
                 logits = guided_mask(*fsm, gstate, logits)
             tok = sample(rng, logits, jnp.full((1,), temp, jnp.float32), self.top_k)
+            extras = []
             if guided:
-                return tok[0], new_cache, guided_next_state(fsm[0], gstate, tok)[0]
-            return tok[0], new_cache
+                extras.append(guided_next_state(fsm[0], gstate, tok)[0])
+            if lp_k:
+                from aria_tpu.engine.sampling import token_logprobs
+
+                lp, ti, tl = token_logprobs(out.logits[:, 0], tok, k=lp_k)
+                extras.append((lp[0], ti[0], tl[0]))
+            return (tok[0], new_cache, *extras)
 
         return prefill
 
@@ -185,6 +199,7 @@ class BatchedEngine:
         mesh = self.mesh
         guided = self.guided_fsm is not None
         multi = self.adapters is not None
+        lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps,
@@ -221,9 +236,14 @@ class BatchedEngine:
 
                 logits = guided_mask(*fsm, gstates, logits)
             toks = sample(rng, logits, temps, self.top_k)
+            extras = []
             if guided:
-                return toks, new_cache, guided_next_state(fsm[0], gstates, toks)
-            return toks, new_cache
+                extras.append(guided_next_state(fsm[0], gstates, toks))
+            if lp_k:
+                from aria_tpu.engine.sampling import token_logprobs
+
+                extras.append(token_logprobs(out.logits[:, 0], toks, k=lp_k))
+            return (toks, new_cache, *extras)
 
         return prefill_multi
 
@@ -233,6 +253,7 @@ class BatchedEngine:
         mesh = self.mesh
         guided = self.guided_fsm is not None
         multi = self.adapters is not None
+        lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pos, active, temps, rng,
@@ -263,13 +284,19 @@ class BatchedEngine:
                     )
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
-                return (nxt, out.cache, pos, gstate), nxt
+                ys = nxt
+                if lp_k:
+                    from aria_tpu.engine.sampling import token_logprobs
+
+                    ys = (nxt, token_logprobs(out.logits[:, -1], nxt, k=lp_k))
+                return (nxt, out.cache, pos, gstate), ys
 
             gstate0 = gstate if guided else jnp.zeros((), jnp.int32)
-            (toks, cache, pos, gstate), all_toks = jax.lax.scan(
+            (toks, cache, pos, gstate), ys = jax.lax.scan(
                 step, (toks, cache, pos, gstate0), jnp.arange(n_steps)
             )
-            return all_toks, toks, cache, pos, gstate  # all_toks: [n_steps, B]
+            all_toks, lps = ys if lp_k else (ys, None)
+            return all_toks, toks, cache, pos, gstate, lps
 
         return decode_n
 
@@ -383,12 +410,15 @@ class BatchedEngine:
             for row, i in enumerate(rows):
                 if group[i].guided:
                     g0[row] = f.start
-            toks, self.cache, new_g = self._prefill_jit[key](
+            res = self._prefill_jit[key](
                 *args, fsm=self._fsm_args(), gstates=jnp.asarray(g0), **mlkw)
-            self.lane_gstate = self.lane_gstate.at[
-                jnp.asarray(lanes_arr[:N])].set(new_g[:N])
         else:
-            toks, self.cache = self._prefill_jit[key](*args, **mlkw)
+            res = self._prefill_jit[key](*args, **mlkw)
+        toks, self.cache, *extras = res
+        if self.guided_fsm is not None:
+            self.lane_gstate = self.lane_gstate.at[
+                jnp.asarray(lanes_arr[:N])].set(extras.pop(0)[:N])
+        lp_pack = extras.pop(0) if self.logprobs_topk else None
         # Scatter only the N real rows: pad rows repeat lane N-1's id but draw
         # independent gumbel noise, so a duplicate-index scatter would leave a
         # nondeterministic winner in that lane (device token could diverge from
@@ -396,7 +426,8 @@ class BatchedEngine:
         self.lane_tok = self.lane_tok.at[jnp.asarray(lanes_arr[:N])].set(toks[:N])
         for i, req in enumerate(group):
             lane = lanes[i]
-            self._pending_first.append((lane, req, toks[i]))
+            lp_i = None if lp_pack is None else tuple(a[i] for a in lp_pack)
+            self._pending_first.append((lane, req, toks[i], lp_i))
             self.lane_req[lane] = req
             self.lane_pos[lane] = len(req.prompt_tokens)
             self.lane_temp[lane] = float(temps[i])
@@ -433,29 +464,37 @@ class BatchedEngine:
             self.lane_adapter[lane] = req.adapter_id
         if self.guided_fsm is not None:
             f = self.guided_fsm
-            g0 = jnp.full((1,), f.start if req.guided else f.free_state, jnp.int32)
-            tok, self.cache, g1 = prefill(
-                self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len),
-                rng, lane, jnp.float32(req_temp),
-                fsm=self._fsm_args(), gstate=g0, **kwargs,
+            kwargs.update(
+                fsm=self._fsm_args(),
+                gstate=jnp.full((1,), f.start if req.guided else f.free_state,
+                                jnp.int32),
             )
-            self.lane_gstate = self.lane_gstate.at[lane].set(g1)
-        else:
-            tok, self.cache = prefill(
-                self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len),
-                rng, lane, jnp.float32(req_temp), **kwargs,
-            )
+        res = prefill(
+            self.params, jnp.asarray(tokens), self.cache, jnp.int32(true_len),
+            rng, lane, jnp.float32(req_temp), **kwargs,
+        )
+        tok, self.cache, *extras = res
+        if self.guided_fsm is not None:
+            self.lane_gstate = self.lane_gstate.at[lane].set(extras.pop(0))
+        lp_e = extras.pop(0) if self.logprobs_topk else None
         # Do NOT sync the first token here: a blocking read per admission
         # costs a full relay round trip (~90 ms measured at 32 lanes — it was
         # 60% of the aggregate-throughput bench). The device scalar is
         # scattered into the lane-token vector the decode chunk consumes, and
         # read back in ONE batched transfer at the next chunk drain.
         self.lane_tok = self.lane_tok.at[lane].set(tok)
-        self._pending_first.append((lane, req, tok))
+        self._pending_first.append((lane, req, tok, lp_e))
         self.lane_req[lane] = req
         self.lane_pos[lane] = true_len
         self.lane_temp[lane] = req_temp
         return True
+
+    @staticmethod
+    def _append_logprobs(req, chosen, top_ids, top_lps):
+        req.logprobs.append(float(chosen))
+        req.top_logprobs.append(
+            {int(i): float(l) for i, l in zip(np.ravel(top_ids), np.ravel(top_lps))}
+        )
 
     def _finish(self, lane: int):
         req = self.lane_req[lane]
@@ -509,7 +548,7 @@ class BatchedEngine:
         if self.adapters is not None:
             gkw.update(ml=self.adapters.stacked,
                        lora_hot=self.adapters.lane_onehot(self.lane_adapter))
-        all_toks, last, self.cache, pos, gstate = self._decode_jit(
+        all_toks, last, self.cache, pos, gstate, lps = self._decode_jit(
             self.params, self.lane_tok, self.cache,
             jnp.asarray(self.lane_pos), jnp.asarray(active),
             jnp.asarray(self.lane_temp), rng, **gkw,
@@ -518,14 +557,19 @@ class BatchedEngine:
         if self.guided_fsm is not None:
             self.lane_gstate = gstate
         toks_host = np.asarray(all_toks)  # [n, B] — the one sync per chunk
+        lps_host = None
+        if self.logprobs_topk:
+            lps_host = tuple(np.asarray(a) for a in lps)  # chosen/ids/tops
         self.lane_pos = np.array(pos)  # copy: np.asarray of a jax array is read-only
         self.lane_tok = last
 
         if self._pending_first:
             # one batched readback for every request admitted this chunk
-            firsts = np.asarray(jnp.stack([t for _, _, t in self._pending_first]))
-            for (lane, req, _), first in zip(self._pending_first, firsts.tolist()):
+            firsts = np.asarray(jnp.stack([e[2] for e in self._pending_first]))
+            for (lane, req, _, lp_e), first in zip(self._pending_first, firsts.tolist()):
                 req.generated.append(int(first))
+                if lp_e is not None:
+                    self._append_logprobs(req, *(np.asarray(a) for a in lp_e))
                 if (
                     first in req.stop_token_ids
                     or len(req.generated) >= req.max_new_tokens
@@ -537,8 +581,12 @@ class BatchedEngine:
             req = self.lane_req[lane]
             if req is None:
                 continue
-            for t in toks_host[:, lane].tolist():
+            for step_i, t in enumerate(toks_host[:, lane].tolist()):
                 req.generated.append(int(t))
+                if lps_host is not None:
+                    self._append_logprobs(
+                        req, lps_host[0][step_i, lane],
+                        lps_host[1][step_i, lane], lps_host[2][step_i, lane])
                 if (
                     t in req.stop_token_ids
                     or len(req.generated) >= req.max_new_tokens

@@ -324,6 +324,36 @@ class TestOpenAICompat:
         msg = data["choices"][0]["message"]
         assert msg["role"] == "assistant" and isinstance(msg["content"], str)
 
+    def test_logprobs_field(self):
+        """Completions `logprobs` returns token strings + logprobs when the
+        engine is deployed with logprobs_topk."""
+        from aria_tpu.engine.http_server import ServingLoop, make_handler
+
+        params = init_aria_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+        engine = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=128,
+                               temperature=0.0, decode_chunk=4,
+                               cache_dtype=jnp.float32, logprobs_topk=2)
+        loop = ServingLoop(engine, ByteTokenizer())
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(loop))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{httpd.server_port}/v1/completions",
+                data=json.dumps({"prompt": "lp", "max_tokens": 4,
+                                 "temperature": 0.0, "logprobs": 2}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                data = json.loads(r.read())
+            lp = data["choices"][0]["logprobs"]
+            assert len(lp["token_logprobs"]) == len(lp["tokens"]) == 4
+            assert all(v <= 0 for v in lp["token_logprobs"])
+            assert all(len(d) == 2 for d in lp["top_logprobs"])
+        finally:
+            httpd.shutdown()
+            loop.shutdown()
+
     def test_n_choices(self, server):
         req = urllib.request.Request(
             server + "/v1/completions",

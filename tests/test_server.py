@@ -116,6 +116,32 @@ class TestBatchedEngine:
         assert len(finished) == 1
         assert finished[0].error is not None
 
+    def test_logprobs_match_full_forward(self):
+        """Engine-reported per-token logprobs equal log-softmax of a
+        cacheless full forward at each step (greedy)."""
+        from aria_tpu.models.moe_lm import lm_forward
+
+        params = make_params()
+        srv = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=128,
+                            temperature=0.0, decode_chunk=3,
+                            cache_dtype=jnp.float32, logprobs_topk=3)
+        prompt = [5, 17, 3]
+        n = 6
+        srv.submit(prompt, max_new_tokens=n)
+        (req,) = srv.run_until_complete()
+        assert len(req.logprobs) == len(req.generated) == n
+        assert all(len(d) == 3 for d in req.top_logprobs)
+
+        toks = list(prompt)
+        for tok, lp, top in zip(req.generated, req.logprobs, req.top_logprobs):
+            out = lm_forward(params["lm"], TINY.text,
+                             jnp.asarray([toks], jnp.int32))
+            ref = jax.nn.log_softmax(out.logits[0, -1].astype(jnp.float32))
+            assert tok == int(jnp.argmax(ref))  # greedy agreement
+            np.testing.assert_allclose(lp, float(ref[tok]), rtol=2e-3, atol=2e-3)
+            assert abs(max(top.values()) - lp) < 2e-3  # greedy pick is top-1
+            toks.append(tok)
+
     def test_cancel_queued_and_running(self):
         params = make_params()
         srv = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=128,
