@@ -57,6 +57,43 @@ class TestRegexDFA:
             assert bool(gold.fullmatch(s)) == dfa.matches(s.encode()), s
 
 
+class TestRegexFuzz:
+    """Property test: random regexes over a small alphabet, random strings,
+    DFA verdict must equal python re.fullmatch. This is what caught the
+    opt()-skip-edge bug that accepted trailing commas."""
+
+    def _rand_expr(self, rng, depth):
+        if depth <= 0:
+            return rng.choice(["a", "b", "c", "[ab]", "[^c]", "\\d"])
+        kind = rng.randint(0, 6)
+        if kind == 0:
+            return self._rand_expr(rng, depth - 1) + self._rand_expr(rng, depth - 1)
+        if kind == 1:
+            return ("(" + self._rand_expr(rng, depth - 1) + "|"
+                    + self._rand_expr(rng, depth - 1) + ")")
+        if kind == 2:
+            return "(" + self._rand_expr(rng, depth - 1) + ")*"
+        if kind == 3:
+            return "(" + self._rand_expr(rng, depth - 1) + ")+"
+        if kind == 4:
+            return "(" + self._rand_expr(rng, depth - 1) + ")?"
+        lo = rng.randint(0, 3)
+        hi = lo + rng.randint(0, 3)
+        return "(" + self._rand_expr(rng, depth - 1) + ")" + f"{{{lo},{hi}}}"
+
+    def test_random_patterns_match_re(self):
+        rng = np.random.RandomState(42)
+        alphabet = "abc019"
+        for _ in range(60):
+            pat = self._rand_expr(rng, 3)
+            dfa = compile_regex(pat)
+            gold = re.compile(pat)
+            for _ in range(40):
+                n = rng.randint(0, 10)
+                s = "".join(rng.choice(list(alphabet)) for _ in range(n))
+                assert bool(gold.fullmatch(s)) == dfa.matches(s.encode()), (pat, s)
+
+
 class TestJsonDFA:
     def test_accepts_valid_json_objects(self):
         dfa = json_dfa(max_depth=3)
