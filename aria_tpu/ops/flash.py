@@ -83,8 +83,13 @@ def flash_sdpa(
         kv = jnp.pad(kv, ((0, 0), (0, Sk_p - Sk)))
         seg = SegmentIds(q=qv.astype(jnp.int32), kv=kv.astype(jnp.int32))
 
-    bq = min(512, Sq_p)
-    bk = min(512, Sk_p)
+    import os
+
+    # on-chip A/B levers for the ViT's 4900-patch attention (TTFT device
+    # floor): the defaults are 512/512; the padded head dim (72 -> 128 for
+    # SigLIP) makes this kernel VPU-heavier than its LM counterpart
+    bq = min(int(os.environ.get("ARIA_TPU_FLASH_BQ", 512)), Sq_p)
+    bk = min(int(os.environ.get("ARIA_TPU_FLASH_BK", 512)), Sk_p)
     block_sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
