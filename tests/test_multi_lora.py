@@ -163,6 +163,31 @@ class TestEngineMultiLora:
         assert f2.uid == u2 and f2.cached_tokens == 64
         assert f2.generated == exp_t1
 
+    def test_adapter_composes_with_guided_and_logprobs(self):
+        """All three per-request features on one engine: an adapter-selected,
+        FSM-constrained request with logprobs, next to a plain lane."""
+        from aria_tpu.data.tokenizer import ByteTokenizer
+        from aria_tpu.engine.guided import regex_fsm
+
+        params = make_params()
+        lora1, lc1 = make_adapter(1)
+        reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
+        tok = ByteTokenizer()
+        fsm = regex_fsm("(yes|no)", tok, [tok.eos_token_id],
+                        vocab_size=TINY.text.vocab_size)
+        srv = BatchedEngine(params, TINY, max_lanes=2, max_seq_len=128,
+                            temperature=0.9, decode_chunk=3,
+                            cache_dtype=jnp.float32, guided_fsm=fsm,
+                            adapters=reg, logprobs_topk=2)
+        g = srv.submit([5, 17, 3], max_new_tokens=8, adapter="t1",
+                       guided=True, stop_token_ids=(tok.eos_token_id,))
+        p = srv.submit([9, 9, 200], max_new_tokens=4, temperature=0.0)
+        fin = {r.uid: r for r in srv.run_until_complete()}
+        assert tok.decode(fin[g].generated[:-1]) in ("yes", "no")
+        assert fin[g].generated[-1] == tok.eos_token_id
+        assert len(fin[g].logprobs) == len(fin[g].generated)
+        assert len(fin[p].logprobs) == 4
+
     def test_unknown_adapter_rejected(self):
         params = make_params()
         lora1, lc1 = make_adapter(1)
