@@ -176,6 +176,23 @@ def is_serving_quantized(params: dict) -> bool:
     return isinstance(layers.get("w1"), dict) or isinstance(layers.get("wqkv"), dict)
 
 
+def _align_specs(tree, specs):
+    """Expand a P spec that sits over a QUANTIZED leaf group ({"q"/"q4",
+    scales...}) into per-leaf specs: the main tensor keeps the spec when its
+    rank matches, lower-rank scale planes replicate. Lets bf16 spec trees
+    (aria_param_specs) apply to int8-quantized bases (QLoRA's frozen base)."""
+    if isinstance(specs, P):
+        if isinstance(tree, dict):
+            return {
+                k: (specs if getattr(v, "ndim", None) == len(specs) else P())
+                for k, v in tree.items()
+            }
+        return specs
+    if isinstance(specs, dict) and isinstance(tree, dict):
+        return {k: _align_specs(tree.get(k), v) for k, v in specs.items()}
+    return specs
+
+
 def shard_tree(tree, specs, mesh: Mesh):
     """Apply NamedShardings from a spec tree to a param tree.
 
@@ -184,6 +201,7 @@ def shard_tree(tree, specs, mesh: Mesh):
     every process holds the full host value (the loop init/restore paths
     guarantee this) and contributes its addressable shards' slices.
     """
+    specs = _align_specs(tree, specs)
     if jax.process_count() > 1:
         def put(x, s):
             xh = np.asarray(x)

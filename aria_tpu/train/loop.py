@@ -129,6 +129,15 @@ def train(r: Recipe, cfg: Optional[AriaConfig] = None, max_steps: Optional[int] 
     tc = _to_train_config(r, total_steps // max(r.gradient_accumulation_steps, 1))
 
     params = build_params(r, cfg, dtype)
+    if r.use_peft and r.quantize_base:
+        # QLoRA-style: the frozen base trains through the differentiable
+        # int8-dequant paths (gradients flow only into the adapters),
+        # cutting frozen-base HBM ~4x — the freed memory goes to longer
+        # sequences / larger batches. Beyond the reference's LoRA envelope
+        # (one 80GB GPU, README.md:148-151).
+        from aria_tpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
     params = shard_tree(params, aria_param_specs(), mesh)
 
     logger = MetricsLogger(

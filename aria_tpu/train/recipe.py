@@ -58,6 +58,7 @@ class Recipe:
     lora_r: int = 8
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    quantize_base: bool = False  # QLoRA-style: int8-quantize the frozen base
 
     # mesh (replaces recipes/accelerate_configs/*.yaml)
     mesh_data: int = 1

@@ -68,6 +68,19 @@ class TestTrainLoop:
         leaves = list(state.params["lm"]["layers"].keys())
         assert "wqkv" in leaves
 
+    def test_qlora_quantized_base(self, tmp_path):
+        """LoRA over an int8-quantized frozen base (QLoRA-style): gradients
+        flow through the dequant paths into the adapters only; loss is
+        finite and decreases over a few steps."""
+        r = base_recipe(tmp_path, use_peft=True, lora_r=4, lora_alpha=8,
+                        quantize_base=True, learning_rate=1e-2)
+        state = train(r, cfg=TINY, max_steps=4)
+        assert int(state.step) == 4
+        lines = [json.loads(l) for l in
+                 open(os.path.join(r.output_dir, "metrics.jsonl"))]
+        assert all(np.isfinite(l["loss"]) for l in lines)
+        assert lines[-1]["loss"] < lines[0]["loss"]
+
     def test_resume_from_checkpoint(self, tmp_path):
         r = base_recipe(tmp_path)
         train(r, cfg=TINY, max_steps=2)
