@@ -1022,6 +1022,8 @@ def lm_forward(
         and not has_cache
         and cp_mesh is None
         and dense_q4 is None
+        and lora_onehot is None  # multi-adapter selectors are serving-only;
+        #                          PP microbatching would split their B axis
         and cfg.num_layers % mesh.shape["pipe"] == 0
     )
     if use_pp:

@@ -119,6 +119,12 @@ def bench_train(args):
     params = jax.jit(
         lambda k: init_aria_params(k, cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(0))
+    if args.qlora:
+        # QLoRA-style: int8 frozen base (~4x less HBM than bf16) — the freed
+        # memory buys bigger --train-batch / --train-seq on the same chip
+        from aria_tpu.ops.quant import quantize_params
+
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
     jax.block_until_ready(params)
 
     lc = LoraConfig(rank=16)
@@ -152,7 +158,7 @@ def bench_train(args):
         print(f"# step {r}: {dt*1e3:.0f}ms, loss={float(metrics['loss']):.3f}", flush=True)
     tok_s = B * S / float(np.mean(times))
     print(json.dumps({
-        "metric": f"lora_train_tok_s_1chip_ep8_shard_equiv_b{B}_s{S}",
+        "metric": f"{'q' if args.qlora else ''}lora_train_tok_s_1chip_ep8_shard_equiv_b{B}_s{S}",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": 0.0,  # reference publishes envelopes, not train tok/s
@@ -208,6 +214,8 @@ def main():
                     help="LoRA fine-tune throughput (EP-8 shard, 2k seq)")
     ap.add_argument("--train-batch", type=int, default=1)
     ap.add_argument("--train-seq", type=int, default=2048)
+    ap.add_argument("--qlora", action="store_true",
+                    help="train mode: int8-quantize the frozen base (QLoRA)")
     args = ap.parse_args()
 
     if args.train:
