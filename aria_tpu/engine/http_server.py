@@ -223,12 +223,35 @@ def _decode_image(url: str):
     return Image.open(io.BytesIO(base64.b64decode(url))).convert("RGB")
 
 
+def _decode_video(url: str, num_frames: int):
+    """base64 video -> uniformly sampled PIL frames (reference treats video
+    as N image frames, aria/train.py:126-183 / load_video.py)."""
+    import base64
+    import os
+    import tempfile
+
+    from aria_tpu.data.video import load_video
+
+    if url.startswith("data:"):
+        url = url.split(",", 1)[1]
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(base64.b64decode(url))
+        return load_video(path, num_frames=num_frames)
+    finally:
+        os.unlink(path)
+
+
 def _chat_to_prompt(messages: List[dict]):
     """OpenAI chat messages -> (ChatML prompt, PIL images).
 
     Image content (``{"type": "image_url", "image_url": {"url": "data:..."}}``)
     becomes one ``<|img|>`` placeholder in fim wrappers (data/chat.py);
-    AriaProcessor then expands it by crop count and per-crop tokens."""
+    AriaProcessor then expands it by crop count and per-crop tokens.
+    Video content (``{"type": "video_url", "video_url": {"url": ...},
+    "num_frames": N}``) becomes N sampled frames, each an image placeholder
+    (the reference's video->frames rewrite, aria/train.py:126-183)."""
     from aria_tpu.data.chat import build_inference_prompt
 
     norm, images = [], []
@@ -242,6 +265,11 @@ def _chat_to_prompt(messages: List[dict]):
                 url = c["image_url"]["url"] if isinstance(c.get("image_url"), dict) else c["image_url"]
                 images.append(_decode_image(url))
                 entries.append({"type": "image"})
+            elif c.get("type") == "video_url":
+                url = c["video_url"]["url"] if isinstance(c.get("video_url"), dict) else c["video_url"]
+                frames = _decode_video(url, int(c.get("num_frames", 8)))
+                images.extend(frames)
+                entries.extend([{"type": "image"}] * len(frames))
             else:
                 entries.append(c)
         norm.append({"role": m["role"], "content": entries})

@@ -244,6 +244,37 @@ class TestMultimodalHTTP:
         assert "<fim_prefix><|img|><fim_suffix>" in prompt
         assert prompt.endswith("<|im_start|>assistant\n")
 
+    def test_chat_to_prompt_expands_video_to_frames(self):
+        import base64
+        import os
+        import tempfile
+
+        import numpy as np
+
+        cv2 = pytest.importorskip("cv2")
+        from aria_tpu.engine.http_server import _chat_to_prompt
+
+        fd, path = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+        try:
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (16, 16))
+            rng = np.random.RandomState(0)
+            for _ in range(10):
+                w.write(rng.randint(0, 255, (16, 16, 3), np.uint8))
+            w.release()
+            url = "data:video/mp4;base64," + base64.b64encode(
+                open(path, "rb").read()).decode()
+        finally:
+            os.unlink(path)
+        prompt, images = _chat_to_prompt([
+            {"role": "user", "content": [
+                {"type": "video_url", "video_url": {"url": url}, "num_frames": 4},
+                {"type": "text", "text": "what happens?"},
+            ]},
+        ])
+        assert len(images) == 4
+        assert prompt.count("<|img|>") == 4
+
     def test_images_flow_through_serving_loop(self):
         """A multimodal request travels ServingLoop -> processor -> engine
         with pixel tensors intact (tiny-model-compatible fake processor)."""
