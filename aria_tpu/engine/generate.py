@@ -123,15 +123,25 @@ class Engine:
 
     # ---------------- jitted building blocks ----------------
 
+    @functools.cached_property
+    def _encode_jit(self):
+        """ViT+projector as its own program (re-traced per pixel shape): keeps
+        the vision tower out of every prompt-bucket prefill compile and off
+        the LM prefill's peak-memory live range."""
+        cfg = self.cfg
+        from aria_tpu.models.aria import encode_images
+
+        return jax.jit(lambda params, pv, pm: encode_images(params, cfg, pv, pm))
+
     def _prefill_fn(self, has_image: bool, guided: bool = False):
         cfg = self.cfg
         mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnames=("temperature", "top_k"), donate_argnums=(2,))
-        def prefill(params, tokens, cache, true_len, rng, pixel_values=None,
-                    pixel_mask=None, fsm=None, gstate=None, *, temperature, top_k):
+        def prefill(params, tokens, cache, true_len, rng, image_feats=None,
+                    fsm=None, gstate=None, *, temperature, top_k):
             B, S = tokens.shape
-            embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
+            embeds = prepare_embeddings(params, cfg, tokens, image_features=image_feats)
             kv_pos = jnp.arange(cache.k.shape[3])
             qi = jnp.arange(S)
             mask = (kv_pos[None, :] <= qi[:, None])[None, None]
@@ -250,8 +260,7 @@ class Engine:
 
         has_image = pixel_values is not None
         guided = gen.guided is not None
-        key = (has_image, bucket,
-               None if pixel_values is None else pixel_values.shape, guided)
+        key = (has_image, bucket, guided)
         if key not in self._prefill_jit:
             self._prefill_jit[key] = self._prefill_fn(has_image, guided)
         prefill = self._prefill_jit[key]
@@ -265,9 +274,12 @@ class Engine:
             fsm = (gen.guided.trans, gen.guided.accepting, gen.guided.stop_mask)
             kwargs.update(fsm=fsm, gstate=jnp.full((1,), gen.guided.start, jnp.int32))
         if has_image:
+            feats = self._encode_jit(
+                self.params, jnp.asarray(pixel_values), jnp.asarray(pixel_mask)
+            )
             next_tok, cache, *gst = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p,
-                jnp.asarray(pixel_values), jnp.asarray(pixel_mask), **kwargs,
+                feats, **kwargs,
             )
         else:
             next_tok, cache, *gst = prefill(

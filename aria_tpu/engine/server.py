@@ -136,6 +136,16 @@ class BatchedEngine:
 
     # ------------------------------------------------------------ jit fns
 
+    @functools.cached_property
+    def _encode_jit(self):
+        """ViT+projector as a separate program (see Engine._encode_jit): one
+        compile shared by all prompt buckets, and the vision activation peak
+        never stacks on the LM prefill's inside a single live range."""
+        cfg = self.cfg
+        from aria_tpu.models.aria import encode_images
+
+        return jax.jit(lambda params, pv, pm: encode_images(params, cfg, pv, pm))
+
     def _make_prefill(self):
         cfg = self.cfg
         mesh = self.mesh
@@ -146,9 +156,9 @@ class BatchedEngine:
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0,
                     fsm=None, gstate=None, ml=None, lora_hot=None,
-                    pixel_values=None, pixel_mask=None):
+                    image_feats=None):
             _, S = tokens.shape
-            embeds = prepare_embeddings(params, cfg, tokens, pixel_values, pixel_mask)
+            embeds = prepare_embeddings(params, cfg, tokens, image_features=image_feats)
             # Slice ALL cache leaves (k, v and — for int8 caches — the fp32
             # scales). Dropping the scales would make _attention see an
             # unquantized cache and raw-cast bf16 K/V to int8.
@@ -447,7 +457,7 @@ class BatchedEngine:
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :true_len] = req.prompt_tokens
 
-        key = (bucket, None if req.pixel_values is None else req.pixel_values.shape)
+        key = (bucket, req.pixel_values is not None)
         if key not in self._prefill_jit:
             self._prefill_jit[key] = self._make_prefill()
         prefill = self._prefill_jit[key]
@@ -455,8 +465,9 @@ class BatchedEngine:
         self._rng, rng = jax.random.split(self._rng)
         kwargs = {}
         if req.pixel_values is not None:
-            kwargs = dict(pixel_values=jnp.asarray(req.pixel_values),
-                          pixel_mask=jnp.asarray(req.pixel_mask))
+            kwargs = dict(image_feats=self._encode_jit(
+                self.params, jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)
+            ))
         req_temp = self.temperature if req.temperature is None else req.temperature
         if self.adapters is not None:
             kwargs.update(ml=self.adapters.stacked,
@@ -817,17 +828,27 @@ class PagedBatchedEngine:
                 return i
         return None
 
+    @functools.cached_property
+    def _encode_jit(self):
+        """See BatchedEngine._encode_jit: ViT+projector as its own program."""
+        cfg = self.cfg
+        from aria_tpu.models.aria import encode_images
+
+        return jax.jit(lambda params, pv, pm: encode_images(params, cfg, pv, pm))
+
     def _embeds_for(self, req: Request, bucket: int):
-        key = (bucket, None if req.pixel_values is None else req.pixel_values.shape)
+        key = (bucket, req.pixel_values is not None)
         if key not in self._embed_jit:
             self._embed_jit[key] = jax.jit(
-                lambda p, t, pv=None, pm=None: prepare_embeddings(p, self.cfg, t, pv, pm)
+                lambda p, t, feats=None: prepare_embeddings(
+                    p, self.cfg, t, image_features=feats)
             )
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, : len(req.prompt_tokens)] = req.prompt_tokens
         args = [self.params, jnp.asarray(tokens)]
         if req.pixel_values is not None:
-            args += [jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)]
+            args.append(self._encode_jit(
+                self.params, jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)))
         return self._embed_jit[key](*args)
 
     def _admit(self) -> bool:

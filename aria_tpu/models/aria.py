@@ -59,13 +59,22 @@ def prepare_embeddings(
     tokens: Array,  # [B, S]
     pixel_values: Optional[Array] = None,
     pixel_mask: Optional[Array] = None,
+    image_features: Optional[Array] = None,  # precomputed encode_images output
 ) -> Array:
+    """Token embeddings with image features scattered into ``<|img|>`` slots.
+
+    ``image_features`` lets callers run the ViT+projector as a SEPARATE jitted
+    program (Engine._encode_jit): fusing the 980px vision tower into every
+    prompt-bucket prefill program both recompiles it per bucket and stacks its
+    activation peak on top of the LM prefill's inside one XLA live range.
+    """
     from aria_tpu.models.moe_lm import embed_tokens
 
     embeds = embed_tokens(params["lm"]["embed"], tokens)
-    if pixel_values is not None:
-        feats = encode_images(params, cfg, pixel_values, pixel_mask)
-        embeds = scatter_image_features(embeds, tokens, feats, cfg.image_token_id)
+    if image_features is None and pixel_values is not None:
+        image_features = encode_images(params, cfg, pixel_values, pixel_mask)
+    if image_features is not None:
+        embeds = scatter_image_features(embeds, tokens, image_features, cfg.image_token_id)
     return embeds
 
 

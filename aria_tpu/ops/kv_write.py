@@ -8,41 +8,70 @@ step were ~3.6 ms of the 25 ms 32-lane decode step.
 
 This kernel maps each lane's destination block straight through a
 scalar-prefetched BlockSpec index map and aliases the cache in/out, so the
-write is a pipelined block DMA per lane. Mosaic requires the last two block
-dims to tile (8, 128), so each lane's block spans 8 cache positions
-(S-extent 8 at block index slot//8); the kernel copies the aliased input
-block and overwrites row slot%8 — an 8x payload (still only ~20KB/lane)
-instead of a serialized scatter.
+write is a pipelined block DMA per lane. Mosaic tiles the last two block
+dims natively at (8, 128) for 32-bit, (16, 128) for 16-bit and (32, 128)
+for 8-bit element types, so each lane's block spans that many cache
+positions (S-extent `sb` at block index slot//sb); the kernel copies the
+aliased input block and overwrites row slot%sb — an sb-x payload (still
+only ~20-80KB/lane) instead of a serialized scatter.
 
 Scale planes are NOT handled here: the per-(head, position) scale write
 stays on the one-hot plane-select path (moe_lm.py), which touches only the
 1.3MB scale plane and was already measured cheap.
 
-Used by both the contiguous engine (row = lane, slot = position) and the
-paged engine (row = page id, slot = in-page offset). Replaces the
-reference's `KVCache.update` index assign (gptfast/model.py:76-93) on the
-batched-serving path.
+Intended to replace the engines' scatter-path cache write (row = lane,
+slot = position for the contiguous engine; row = page id, slot = in-page
+offset for the paged one) — not wired in yet; interpret-mode parity is
+covered by tests/test_kernels.py. The reference's equivalent is the
+`KVCache.update` index assign (gptfast/model.py:76-93).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SB = 8  # S-extent of each block (Mosaic sublane tiling)
+
+def _sublanes(dtype) -> int:
+    """Native Mosaic sublane tiling for the cache element type: blocks whose
+    second-minor extent is not a multiple of this either fail to compile or
+    fall into partial-tile handling that breaks the one-block-DMA design."""
+    itemsize = jnp.dtype(dtype).itemsize
+    tiling = {4: 8, 2: 16, 1: 32}
+    if itemsize not in tiling:
+        raise ValueError(f"unsupported KV-cache element size {itemsize} ({dtype})")
+    return tiling[itemsize]
 
 
-def _kernel(l_ref, rows_ref, slots_ref, kn_ref, vn_ref, k_in, v_in,
+def _check_unique_blocks(rows, slots, sb):
+    """Duplicate destination blocks with DIFFERENT slots are a lost-update
+    hazard: each lane's where() is based on the stale aliased input, so the
+    later lane silently erases the earlier one's write."""
+    blocks = {}
+    for r, s in zip(np.asarray(rows).tolist(), np.asarray(slots).tolist()):
+        key = (r, s // sb)
+        if key in blocks and blocks[key] != s:
+            raise AssertionError(
+                f"kv_cache_write: lanes map to the same cache block {key} with "
+                f"different slots ({blocks[key]} vs {s}); the RMW would lose one "
+                "write. Duplicates are only safe when (row, slot) is identical."
+            )
+        blocks[key] = s
+
+
+def _kernel(sb, l_ref, rows_ref, slots_ref, kn_ref, vn_ref, k_in, v_in,
             k_out, v_out):
     del l_ref, rows_ref
     b = pl.program_id(0)
-    r = slots_ref[b] % _SB
+    r = slots_ref[b] % sb
     # dynamic sublane stores are unsupported — select row r of the block
     sel = jax.lax.broadcasted_iota(jnp.int32, k_in.shape[2:], 1) == r
     k_out[0, 0] = jnp.where(sel, kn_ref[0][:, None, :], k_in[0, 0])
@@ -63,18 +92,24 @@ def kv_cache_write(
 ) -> Tuple[Array, Array]:
     """Write one fresh position per lane into the stacked cache, in place.
 
-    Returns (k_cache, v_cache) with lane b's block at
-    (layer_idx, rows[b], :, slots[b], :) replaced. Duplicate (row, slot//8)
-    pairs across lanes must carry identical payloads (the batched engines
-    only produce duplicates for admission padding, which repeats a real
-    lane — identical row AND slot, so the RMW blocks agree)."""
+    Returns (k_cache, v_cache) with lane b's row at
+    (layer_idx, rows[b], :, slots[b], :) replaced. Duplicate (row, slot//sb)
+    destination blocks across lanes must carry identical (row, slot) — the
+    batched engines only produce duplicates for admission padding, which
+    repeats a real lane verbatim, so the RMW blocks agree. Set
+    ARIA_TPU_DEBUG_KVW=1 to verify that precondition on every call.
+    """
     L, R, Hc, S, D = k_cache.shape
     B = k_new.shape[0]
-    assert S % _SB == 0
+    sb = _sublanes(k_cache.dtype)
+    assert S % sb == 0, (S, sb, k_cache.dtype)
+
+    if os.environ.get("ARIA_TPU_DEBUG_KVW") == "1":
+        jax.debug.callback(_check_unique_blocks, rows, slots, sb)
 
     cache_spec = pl.BlockSpec(
-        (1, 1, Hc, _SB, D),
-        lambda b, l, r, s: (l[0], r[b], 0, s[b] // _SB, 0),
+        (1, 1, Hc, sb, D),
+        lambda b, l, r, s: (l[0], r[b], 0, s[b] // sb, 0),
         memory_space=pltpu.VMEM,
     )
     new_spec = pl.BlockSpec((1, Hc, D), lambda b, l, r, s: (b, 0, 0),
@@ -87,7 +122,7 @@ def kv_cache_write(
         out_specs=[cache_spec, cache_spec],
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, sb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),

@@ -20,6 +20,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -165,6 +168,40 @@ def bench_train(args):
     }))
 
 
+def _probe_headroom(gb: float) -> None:
+    """Allocate-and-free a contiguous HBM block to prove the prefill working
+    set fits BEFORE spending a prefill compile. The full-model residency is
+    ~13.3GB of ~15.75 usable (BENCH_NOTES); session-to-session HBM variance
+    OOM'd the r03 driver run, so fail fast here and let the parent process
+    fall back to the shard8 workload instead of recording zero throughput."""
+    n = int(gb * (1 << 30)) // 4
+    probe = jnp.zeros((n,), jnp.float32)
+    jax.block_until_ready(probe)
+    del probe
+
+
+def _run_with_fallback() -> None:
+    """Driver-default entry: run the full-25.3B int4 workload in a child
+    process; if it dies (OOM / crash / hang), re-run the EP-8-shard int8
+    workload in a FRESH process (clean HBM) with an honest metric name."""
+    env = dict(os.environ, ARIA_TPU_BENCH_CHILD="1")
+    try:
+        rc = subprocess.run([sys.executable, __file__], env=env, timeout=1200).returncode
+    except subprocess.TimeoutExpired:
+        rc = -9
+    if rc == 0:
+        return
+    print(f"# full-model int4 attempt failed (rc={rc}); "
+          "falling back to the EP-8 shard int8 workload in a fresh process", flush=True)
+    try:
+        rc2 = subprocess.run(
+            [sys.executable, __file__, "--shard8", "--fallback"], env=env, timeout=1200
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc2 = -9
+    sys.exit(rc2)
+
+
 def build_int4_params(cfg, with_image: bool):
     """FULL-model serving init: int4 expert stacks streamed into place (the
     bf16 64-expert stacks are ~42GB and can never exist on a 16GB chip)."""
@@ -216,7 +253,16 @@ def main():
     ap.add_argument("--train-seq", type=int, default=2048)
     ap.add_argument("--qlora", action="store_true",
                     help="train mode: int8-quantize the frozen base (QLoRA)")
+    ap.add_argument("--fallback", action="store_true",
+                    help="tag the metric as a fallback from a failed full-model run")
     args = ap.parse_args()
+
+    # Bare `python bench.py` (the driver's exact command): isolate the
+    # full-model attempt in a child process so an OOM degrades to the shard8
+    # workload instead of recording zero throughput for the round.
+    if len(sys.argv) == 1 and "ARIA_TPU_BENCH_CHILD" not in os.environ:
+        _run_with_fallback()
+        return
 
     if args.train:
         bench_train(args)
@@ -256,6 +302,11 @@ def main():
         jax.block_until_ready(params)
         n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"# init: {time.perf_counter() - t0:.1f}s ({n_params / 1e9:.2f}B params)", flush=True)
+
+    if args.int4:
+        gb = float(os.environ.get("ARIA_TPU_HEADROOM_GB", "1.0"))
+        _probe_headroom(gb)
+        print(f"# headroom probe ok: {gb:.2f} GB free after init", flush=True)
 
     if args.lanes:
         bench_batched(params, cfg, args)
@@ -306,6 +357,8 @@ def main():
         # the whole 25.3B/64-expert model resident on ONE chip — the
         # reference's README.md:41 claim, at 1/5th the HBM
         name = f"decode_tok_s_1chip_full64_int4{suffix.replace('_int8', '')}"
+    if args.fallback:
+        name += "_fallback"
     print(json.dumps({
         "metric": name,
         "value": round(tok_s, 2),

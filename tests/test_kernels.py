@@ -388,3 +388,65 @@ class TestPagedDecodeAttentionKernel:
             ref = self._reference(cache, table, lengths, q, l)
             np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
                                        np.asarray(ref), rtol=2e-2, atol=5e-3)
+
+
+class TestKVCacheWrite:
+    """Interpret-mode parity for ops/kv_write.py vs the XLA scatter path,
+    across all cache dtypes (each has a different native sublane tiling)
+    and including duplicate padding lanes (identical row+slot)."""
+
+    def _run(self, dtype, dup: bool):
+        from aria_tpu.ops.kv_write import kv_cache_write
+
+        L, B, H, S, D = 3, 4, 2, 64, 128
+        rng = np.random.RandomState(0)
+
+        def rand(shape):
+            if jnp.dtype(dtype) == jnp.int8:
+                return jnp.asarray(rng.randint(-128, 128, shape).astype(np.int8))
+            return jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+
+        kc, vc = rand((L, B, H, S, D)), rand((L, B, H, S, D))
+        kn, vn = rand((B, H, D)), rand((B, H, D))
+        rows = np.array([0, 2, 1, 3], np.int32)
+        slots = np.array([5, 17, 5, 40], np.int32)
+        if dup:
+            # admission padding repeats a real lane verbatim: same row+slot
+            rows[3], slots[3] = rows[1], slots[1]
+            kn = kn.at[3].set(kn[1])
+            vn = vn.at[3].set(vn[1])
+        li = jnp.int32(1)
+
+        # snapshot before the call: kv_cache_write donates the cache buffers
+        ref_k, ref_v = np.array(kc), np.array(vc)
+        out_k, out_v = kv_cache_write(
+            kc, vc, li, jnp.asarray(rows), jnp.asarray(slots), kn, vn,
+            interpret=True,
+        )
+        for b in range(B):
+            ref_k[1, rows[b], :, slots[b], :] = np.asarray(kn[b])
+            ref_v[1, rows[b], :, slots[b], :] = np.asarray(vn[b])
+        np.testing.assert_array_equal(np.asarray(out_k), ref_k)
+        np.testing.assert_array_equal(np.asarray(out_v), ref_v)
+
+    def test_f32(self):
+        self._run(jnp.float32, dup=False)
+
+    def test_bf16(self):
+        self._run(jnp.bfloat16, dup=False)
+
+    def test_int8(self):
+        self._run(jnp.int8, dup=False)
+
+    def test_duplicate_padding_lanes(self):
+        self._run(jnp.bfloat16, dup=True)
+
+    def test_conflicting_block_check(self, monkeypatch):
+        from aria_tpu.ops.kv_write import _check_unique_blocks
+
+        # same (row, block) with different slots must fail loudly
+        with np.testing.assert_raises(AssertionError):
+            _check_unique_blocks(np.array([0, 0]), np.array([3, 7]), sb=16)
+        # distinct blocks / identical duplicates are fine
+        _check_unique_blocks(np.array([0, 0]), np.array([3, 3]), sb=16)
+        _check_unique_blocks(np.array([0, 1]), np.array([3, 7]), sb=16)

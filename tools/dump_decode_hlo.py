@@ -10,7 +10,6 @@ import re
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import bench
 from aria_tpu.engine.server import BatchedEngine
@@ -30,10 +29,14 @@ def main():
         params, cfg, max_lanes=args.lanes, max_seq_len=512,
         temperature=0.8, top_k=200, decode_chunk=25, cache_dtype=jnp.int8,
     )
+    # keyword args so this stays in sync with decode_n's signature
+    # (aria_tpu/engine/server.py BatchedEngine._decode_jit)
     lowered = srv._decode_jit.lower(
         srv.params, srv.lane_tok, srv.cache,
-        jnp.zeros(args.lanes, jnp.int32), jnp.ones(args.lanes, bool),
-        jnp.full(args.lanes, 0.8, jnp.float32), jax.random.PRNGKey(0),
+        pos=jnp.zeros(args.lanes, jnp.int32),
+        active=jnp.ones(args.lanes, bool),
+        temps=jnp.full(args.lanes, 0.8, jnp.float32),
+        rng=jax.random.PRNGKey(0),
         n_steps=25,
     )
     txt = lowered.compile().as_text()
