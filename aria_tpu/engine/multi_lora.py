@@ -71,6 +71,137 @@ def stack_adapters(
     return {"layers": out}
 
 
+def fuse_shared_adapters(layers: dict, num_experts: int, num_shared: int,
+                         moe_inter: int) -> dict:
+    """Rewrite adapter factors from training format (per-expert ``w1``/``w2``
+    + dense ``shared_w1``/``shared_w2``) into the FUSED-base serving format
+    (``w1``/``w2`` stacks over ``num_experts + num_shared`` virtual experts).
+
+    The exact adapter-side analogue of quant.fuse_shared_experts: the shared
+    MLP's GLU splits elementwise over its intermediate axis, so its LoRA
+    delta splits the same way — shared_w1's B columns partition into
+    per-virtual-expert ``[r, 2I]`` blocks (gate/up halves separately) and
+    shared_w2's A rows into ``[I, r]`` blocks, while the opposite factor is
+    tiled unchanged. Virtual experts of an adapter without shared targets
+    get zero factors (zero delta). Works on stacked ``[L, A, ...]`` and
+    single-adapter ``[L, ...]`` trees alike.
+    """
+    E, ns, I = num_experts, num_shared, moe_inter
+    out = dict(layers)
+    sw1 = out.pop("shared_w1", None)
+    sw2 = out.pop("shared_w2", None)
+
+    def _pad_rank(x, axis, r):
+        have = x.shape[axis]
+        if have == r:
+            return x
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, r - have)
+        return np.pad(x, pad)
+
+    def _combine(expert, virt, a_rank_axis, b_rank_axis, eaxis):
+        """Rank-align then concatenate expert + virtual stacks on the E axis."""
+        r = max(expert["a"].shape[a_rank_axis], virt["a"].shape[a_rank_axis])
+        a = np.concatenate([_pad_rank(expert["a"], a_rank_axis, r),
+                            _pad_rank(virt["a"], a_rank_axis, r)], axis=eaxis)
+        b = np.concatenate([_pad_rank(expert["b"], b_rank_axis, r),
+                            _pad_rank(virt["b"], b_rank_axis, r)], axis=eaxis)
+        return {"a": jnp.asarray(a), "b": jnp.asarray(b)}
+
+    def _tile_virt(x, lead):
+        """[lead..., ...rest] -> [lead..., ns, ...rest]."""
+        x = np.expand_dims(x, len(lead))
+        return np.broadcast_to(x, lead + (ns,) + x.shape[len(lead) + 1:]).copy()
+
+    # ---- w1 group: routed w1 [lead, E, D, r1] + shared_w1 [lead, D, rs]/[lead, rs, 2Is]
+    w1 = out.get("w1")
+    if w1 is not None or sw1 is not None:
+        if sw1 is not None:
+            sa = np.asarray(sw1["a"], np.float32)      # [lead, D, rs]
+            sb = np.asarray(sw1["b"], np.float32)      # [lead, rs, 2Is]
+            lead = sa.shape[:-2]
+            D, rs = sa.shape[-2], sa.shape[-1]
+            Is = sb.shape[-1] // 2
+            assert Is == ns * I, (Is, ns, I)
+            va = _tile_virt(sa, lead)                  # [lead, ns, D, rs]
+            gate = sb[..., :Is].reshape(lead + (rs, ns, I))
+            up = sb[..., Is:].reshape(lead + (rs, ns, I))
+            # [lead, rs, ns, I] -> [lead, ns, rs, I]; concat gate/up -> 2I
+            perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                              len(lead) + 2)
+            vb = np.concatenate([gate.transpose(perm), up.transpose(perm)],
+                                axis=-1)               # [lead, ns, rs, 2I]
+        else:
+            ea = np.asarray(w1["a"], np.float32)
+            lead = ea.shape[:-3]
+            D, r1 = ea.shape[-2], ea.shape[-1]
+            va = np.zeros(lead + (ns, D, r1), np.float32)
+            vb = np.zeros(lead + (ns, r1, 2 * I), np.float32)
+        if w1 is not None:
+            exp = {"a": np.asarray(w1["a"], np.float32),
+                   "b": np.asarray(w1["b"], np.float32)}
+        else:
+            exp = {"a": np.zeros(lead + (E, va.shape[-2], va.shape[-1]), np.float32),
+                   "b": np.zeros(lead + (E, vb.shape[-2], vb.shape[-1]), np.float32)}
+        out["w1"] = _combine(exp, {"a": va, "b": vb},
+                             a_rank_axis=-1, b_rank_axis=-2, eaxis=len(lead))
+
+    # ---- w2 group: routed w2 [lead, E, I, r2] + shared_w2 [lead, Is, rs]/[lead, rs, D]
+    w2 = out.get("w2")
+    if w2 is not None or sw2 is not None:
+        if sw2 is not None:
+            sa = np.asarray(sw2["a"], np.float32)      # [lead, Is, rs]
+            sb = np.asarray(sw2["b"], np.float32)      # [lead, rs, D]
+            lead = sa.shape[:-2]
+            Is, rs = sa.shape[-2], sa.shape[-1]
+            assert Is == ns * I, (Is, ns, I)
+            va = sa.reshape(lead + (ns, I, rs))
+            vb = _tile_virt(sb, lead)                  # [lead, ns, rs, D]
+        else:
+            ea = np.asarray(w2["a"], np.float32)
+            lead = ea.shape[:-3]
+            r2, D_out = ea.shape[-1], np.asarray(w2["b"]).shape[-1]
+            va = np.zeros(lead + (ns, I, r2), np.float32)
+            vb = np.zeros(lead + (ns, r2, D_out), np.float32)
+        if w2 is not None:
+            exp = {"a": np.asarray(w2["a"], np.float32),
+                   "b": np.asarray(w2["b"], np.float32)}
+        else:
+            exp = {"a": np.zeros(lead + (E, va.shape[-2], va.shape[-1]), np.float32),
+                   "b": np.zeros(lead + (E, vb.shape[-2], vb.shape[-1]), np.float32)}
+        out["w2"] = _combine(exp, {"a": va, "b": vb},
+                             a_rank_axis=-1, b_rank_axis=-2, eaxis=len(lead))
+    return out
+
+
+def registry_for_params(reg: "AdapterRegistry", lm_layers: dict,
+                        tc) -> "AdapterRegistry":
+    """Return ``reg`` as-is for a training-format base, or a shallow copy
+    with shared-adapter factors fused when the base expert stacks carry the
+    shared experts as virtual experts (quant.fuse_shared_experts) — the
+    engines call this at build so registries work against either base form."""
+    w1 = lm_layers["w1"]
+    if isinstance(w1, dict):
+        e_stack = (w1["q4"] if "q4" in w1 else w1["q"]).shape[1]
+    else:
+        e_stack = w1.shape[1]
+    if e_stack == tc.num_experts:
+        return reg
+    layers = reg.stacked["layers"]
+    needs = ("shared_w1" in layers or "shared_w2" in layers
+             or ("w1" in layers and layers["w1"]["a"].shape[2] != e_stack)
+             or ("w2" in layers and layers["w2"]["a"].shape[2] != e_stack))
+    if not needs:
+        return reg
+    import copy
+
+    new = copy.copy(reg)
+    new.stacked = {"layers": fuse_shared_adapters(
+        layers, tc.num_experts, tc.num_shared_experts,
+        tc.moe_intermediate_size)}
+    return new
+
+
 class AdapterRegistry:
     """Name -> index map over a stacked adapter tree (index 0 = base)."""
 

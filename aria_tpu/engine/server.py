@@ -79,6 +79,12 @@ class BatchedEngine:
     ):
         self.cfg = cfg
         self.guided_fsm = guided_fsm
+        if adapters is not None:
+            from aria_tpu.engine.multi_lora import registry_for_params
+
+            # fused-shared-experts base stacks need matching adapter stacks
+            adapters = registry_for_params(adapters, params["lm"]["layers"],
+                                           cfg.text)
         self.adapters = adapters
         self.logprobs_topk = logprobs_topk
         self.B = max_lanes
@@ -689,6 +695,12 @@ class PagedBatchedEngine:
             jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
             if guided_fsm is not None else None
         )
+        if adapters is not None:
+            from aria_tpu.engine.multi_lora import registry_for_params
+
+            # fused-shared-experts base stacks need matching adapter stacks
+            adapters = registry_for_params(adapters, params["lm"]["layers"],
+                                           cfg.text)
         self.adapters = adapters
         self.lane_adapter = np.zeros(self.B, np.int32)  # 0 = base model
 

@@ -202,3 +202,115 @@ class TestEngineMultiLora:
                               cache_dtype=jnp.float32)
         with pytest.raises(ValueError):
             plain.submit([1, 2], adapter="t1")
+
+
+class TestFusedBaseAdapters:
+    """Serving bases carry the shared experts fused as virtual experts
+    (quant.fuse_shared_experts); adapter registries built from training-format
+    factors must be rewritten to match (engine/multi_lora.py
+    fuse_shared_adapters / registry_for_params)."""
+
+    def test_delta_math_exact(self):
+        """Dense shared-LoRA delta == per-virtual-expert fused deltas."""
+        from aria_tpu.engine.multi_lora import fuse_shared_adapters
+
+        tc = TINY.text
+        E, ns, I = tc.num_experts, tc.num_shared_experts, tc.moe_intermediate_size
+        D, Is, r = tc.hidden_size, ns * I, 4
+        rng = np.random.RandomState(0)
+        lead = (2, 3)  # [L, A]
+        layers = {
+            "shared_w1": {"a": rng.randn(*lead, D, r).astype(np.float32),
+                          "b": rng.randn(*lead, r, 2 * Is).astype(np.float32)},
+            "shared_w2": {"a": rng.randn(*lead, Is, r).astype(np.float32),
+                          "b": rng.randn(*lead, r, D).astype(np.float32)},
+            "w1": {"a": rng.randn(*lead, E, D, r).astype(np.float32),
+                   "b": rng.randn(*lead, E, r, 2 * I).astype(np.float32)},
+            "w2": {"a": rng.randn(*lead, E, I, r).astype(np.float32),
+                   "b": rng.randn(*lead, E, r, D).astype(np.float32)},
+        }
+        fused = fuse_shared_adapters(dict(layers), E, ns, I)
+        assert "shared_w1" not in fused and "shared_w2" not in fused
+        f1a, f1b = np.asarray(fused["w1"]["a"]), np.asarray(fused["w1"]["b"])
+        f2a, f2b = np.asarray(fused["w2"]["a"]), np.asarray(fused["w2"]["b"])
+        assert f1a.shape[2] == E + ns and f2a.shape[2] == E + ns
+        # routed experts untouched
+        np.testing.assert_array_equal(f1a[:, :, :E], layers["w1"]["a"])
+        np.testing.assert_array_equal(f2b[:, :, :E], layers["w2"]["b"])
+        # virtual expert j's delta == the matching block of the shared delta
+        d1 = np.einsum("ladr,larf->ladf", layers["shared_w1"]["a"],
+                       layers["shared_w1"]["b"])  # [L, A, D, 2Is]
+        d2 = np.einsum("lair,lard->laid", layers["shared_w2"]["a"],
+                       layers["shared_w2"]["b"])  # [L, A, Is, D]
+        for j in range(ns):
+            v1 = np.einsum("ladr,larf->ladf", f1a[:, :, E + j], f1b[:, :, E + j])
+            np.testing.assert_allclose(v1[..., :I], d1[..., j * I:(j + 1) * I],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                v1[..., I:], d1[..., Is + j * I:Is + (j + 1) * I],
+                rtol=1e-5, atol=1e-5)
+            v2 = np.einsum("lair,lard->laid", f2a[:, :, E + j], f2b[:, :, E + j])
+            np.testing.assert_allclose(v2, d2[:, :, j * I:(j + 1) * I],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_lm_forward_fused_base_matches_unfused(self):
+        """Full-stack parity: fused base + fused adapters == unfused base +
+        training-format adapters, per lane, incl. the base (index-0) lane."""
+        from aria_tpu.engine.multi_lora import fuse_shared_adapters
+        from aria_tpu.ops.quant import fuse_shared_experts
+
+        tc = TINY.text
+        params = make_params()
+        lora1, lc1 = make_adapter(1, rank=8)
+        lora2, lc2 = make_adapter(2, rank=4)
+        reg = AdapterRegistry({"t1": lora1, "t2": lora2},
+                              scales={"t1": lc1.scale, "t2": lc2.scale})
+        fused_base = fuse_shared_experts({"lm": params["lm"]})["lm"]
+        fused_stack = {"layers": fuse_shared_adapters(
+            reg.stacked["layers"], tc.num_experts, tc.num_shared_experts,
+            tc.moe_intermediate_size)}
+
+        tokens = jnp.asarray(np.random.RandomState(0).randint(
+            1, 400, size=(3, 16)), jnp.int32)
+        onehot = reg.lane_onehot([reg.resolve("t1"), 0, reg.resolve("t2")])
+        ref = lm_forward(params["lm"], tc, tokens, lora=reg.stacked,
+                         lora_scale=1.0, lora_onehot=onehot).logits
+        got = lm_forward(fused_base, tc, tokens, lora=fused_stack,
+                         lora_scale=1.0, lora_onehot=onehot).logits
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)
+
+    def test_engine_on_fused_base_matches_cacheless_reference(self):
+        """BatchedEngine built on a FUSED base with a training-format registry
+        (registry_for_params fires in the constructor) reproduces the
+        cacheless unfused greedy reference per adapter."""
+        from aria_tpu.ops.quant import fuse_shared_experts
+
+        params = make_params()
+        lora1, lc1 = make_adapter(1, rank=8)
+        reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
+        fused = dict(params)
+        fused["lm"] = fuse_shared_experts({"lm": params["lm"]})["lm"]
+
+        prompt = [5, 17, 3]
+        n = 6
+        exp_t1 = _greedy_full(params, prompt, n, lora1, lc1.scale)
+        exp_base = _greedy_full(params, prompt, n)
+
+        srv = BatchedEngine(fused, TINY, max_lanes=2, max_seq_len=128,
+                            temperature=0.0, decode_chunk=3,
+                            cache_dtype=jnp.float32, adapters=reg)
+        u1 = srv.submit(prompt, max_new_tokens=n, adapter="t1")
+        u0 = srv.submit(prompt, max_new_tokens=n)
+        fin = {r.uid: r for r in srv.run_until_complete()}
+        assert fin[u1].generated == exp_t1, (fin[u1].generated, exp_t1)
+        assert fin[u0].generated == exp_base
+        assert exp_t1 != exp_base  # the adapter does something
+
+    def test_registry_for_params_passthrough_on_training_base(self):
+        from aria_tpu.engine.multi_lora import registry_for_params
+
+        params = make_params()
+        lora1, lc1 = make_adapter(1)
+        reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
+        assert registry_for_params(reg, params["lm"]["layers"], TINY.text) is reg

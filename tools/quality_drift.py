@@ -1,0 +1,267 @@
+"""Quantization quality drift: bf16 oracle vs int8 / int4(+W4A8) / KV dtypes.
+
+VERDICT r03 item 4: the headline bench runs int4 experts + W4A8 activations +
+int8/int4 KV, but no measurement tied those speeds to answer quality. This
+tool runs the SAME weights (same PRNG seed) through each precision stack and
+reports, per variant vs the bf16 oracle:
+
+  - greedy-token divergence over N decode steps (engine path, real kernels):
+    match fraction + first divergence step
+  - teacher-forced logit MSE / relative error / top-1 agreement over a fixed
+    token window (lm_forward path — on TPU this uses the same int4/int8
+    matmul kernels as serving prefill)
+  - perplexity delta on the fixed token set (teacher-forced NLL)
+
+Each variant runs in a CHILD process so HBM starts clean (the bf16 shard-8
+oracle alone is ~12GB of a 16GB chip). Weights are identical across children
+because initialization is deterministic in the seed.
+
+The reference's quality evidence is task-level tables on its published bf16
+checkpoint (examples/refcoco/README.md:70-73); with no checkpoint in this
+zero-egress image, weight-preserving numeric fidelity on the real kernel
+paths is the measurable equivalent — the same tool accepts a real imported
+checkpoint via --from-hf once one is present.
+
+Usage:
+  python -m tools.quality_drift                   # shard-8 flagship dims (TPU)
+  python -m tools.quality_drift --tiny            # CPU smoke
+  python -m tools.quality_drift --variants int4   # subset
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+VARIANTS = ("bf16", "int8", "int4", "int4_a16")
+
+
+def build_cfg(args):
+    from aria_tpu.config import AriaConfig, TextConfig
+
+    if args.tiny:
+        return AriaConfig.tiny()
+    base = AriaConfig.aria_25b()
+    return AriaConfig(vision=base.vision, projector=base.projector,
+                      text=TextConfig(num_experts=args.experts,
+                                      num_layers=args.layers))
+
+
+def _init_bf16(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from aria_tpu.models.aria import init_aria_params
+
+    dtype = jnp.bfloat16  # also in --tiny: the int4 serving path assumes bf16
+    if args.from_hf:
+        from aria_tpu.checkpoint.io import import_hf_checkpoint
+
+        return import_hf_checkpoint(args.from_hf, cfg, dtype=dtype)
+    params = jax.jit(lambda k: init_aria_params(k, cfg, dtype=dtype))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    return params
+
+
+def derive(variant: str, params, cfg):
+    """bf16 params -> the serving stack for `variant` (order proven on-chip
+    by bench.py: quantize FIRST, then fuse shared experts into the stacks)."""
+    import jax
+
+    from aria_tpu.ops.quant import (
+        fuse_shared_experts, quantize_lm_params_int4, quantize_params,
+    )
+
+    if variant == "bf16":
+        return params  # unfused: shared experts run as the separate MLP
+    if variant == "int8":
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
+        jax.block_until_ready(params)
+        params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+    else:  # int4 / int4_a16: int4 experts+dense, int8 vit/proj/head/embed
+        from aria_tpu.ops.quant import quantize_projector_params, quantize_vit_params
+
+        lm = jax.jit(quantize_lm_params_int4, donate_argnums=0)(params["lm"])
+        jax.block_until_ready(lm)
+        out = {"lm": fuse_shared_experts({"lm": lm},
+                                         cfg.text.num_shared_experts)["lm"]}
+        if "vision" in params:
+            out["vision"] = jax.jit(quantize_vit_params, donate_argnums=0)(
+                params["vision"])
+            out["projector"] = jax.jit(quantize_projector_params,
+                                       donate_argnums=0)(params["projector"])
+        params = out
+    jax.block_until_ready(params)
+    return params
+
+
+def run_variant(args):
+    import jax
+    import jax.numpy as jnp
+
+    from aria_tpu.engine.generate import Engine, GenerationConfig
+    from aria_tpu.models.moe_lm import lm_forward
+
+    variant = args.variant
+    if variant == "int4_a16":
+        os.environ["ARIA_TPU_A8"] = "0"
+    cfg = build_cfg(args)
+    V = cfg.text.vocab_size
+
+    t0 = time.perf_counter()
+    params = derive("int4" if variant == "int4_a16" else variant,
+                    _init_bf16(cfg, args), cfg)
+    print(f"# [{variant}] params ready in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    out = {}
+
+    # ---- teacher-forced window: logits + NLL on a FIXED token sequence
+    rng = np.random.RandomState(123)
+    tf = rng.randint(5, V - 10, size=(1, args.tf_len)).astype(np.int32)
+    t0 = time.perf_counter()
+    logits = lm_forward(params["lm"], cfg.text, jnp.asarray(tf)).logits[0]
+    logits = np.asarray(logits, np.float32)  # [S, V]
+    print(f"# [{variant}] teacher-forced forward {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    logp = logits - _logsumexp(logits)
+    nll = -logp[np.arange(args.tf_len - 1), tf[0, 1:]]
+    out["nll"] = nll
+    out["logits_win"] = logits[-args.logit_win:]
+    out["tf_tokens"] = tf[0]
+
+    # ---- greedy decode through the serving engine (real decode kernels)
+    del logits, logp
+    prompt = rng.randint(5, V - 10, size=48).tolist()
+    gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.0,
+                           top_k=None, decode_chunk=50)
+    kv_dtypes = {"kvbf16": jnp.bfloat16}
+    if variant in ("int4", "int4_a16") and not args.tiny:
+        kv_dtypes.update({"kvint8": jnp.int8, "kvint4": "int4"})
+    elif variant == "int8":
+        kv_dtypes.update({"kvint8": jnp.int8})
+    for name, kv in kv_dtypes.items():
+        eng = Engine(params, cfg, max_seq_len=512, cache_dtype=kv)
+        res = eng.generate(prompt, gen)
+        out[f"greedy_{name}"] = np.asarray(res.tokens, np.int32)
+        print(f"# [{variant}] greedy/{name}: {res.tokens_per_s:.1f} tok/s",
+              flush=True)
+        del eng
+
+    np.savez(args.out, **out)
+    print(f"# [{variant}] wrote {args.out}", flush=True)
+
+
+def _logsumexp(x):
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+def compare(results: dict, new_tokens: int) -> list:
+    """results: variant -> npz. Returns RESULT dict lines."""
+    lines = []
+    ref = results["bf16"]
+    ref_greedy = ref["greedy_kvbf16"]
+    ref_nll = ref["nll"]
+    ref_logits = ref["logits_win"]
+    ppl_ref = float(np.exp(ref_nll.mean()))
+    lines.append({"variant": "bf16", "ppl": round(ppl_ref, 4)})
+    for variant, r in results.items():
+        if variant == "bf16":
+            continue
+        g = r["greedy_kvbf16"]
+        n = min(len(g), len(ref_greedy))
+        eq = g[:n] == ref_greedy[:n]
+        div = int(np.argmin(eq)) if not eq.all() else -1
+        lw = r["logits_win"].astype(np.float64)
+        rw = ref_logits.astype(np.float64)
+        mse = float(np.mean((lw - rw) ** 2))
+        rel = float(np.linalg.norm(lw - rw) / np.linalg.norm(rw))
+        top1 = float((lw.argmax(-1) == rw.argmax(-1)).mean())
+        ppl = float(np.exp(r["nll"].mean()))
+        line = {
+            "variant": variant,
+            "greedy_match": round(float(eq.mean()), 4),
+            "first_divergence_step": div,
+            "logit_mse": round(mse, 6),
+            "logit_rel_err": round(rel, 6),
+            "tf_top1_agree": round(top1, 4),
+            "ppl": round(ppl, 4),
+            "ppl_delta_pct": round(100.0 * (ppl - ppl_ref) / ppl_ref, 3),
+        }
+        # KV-dtype drift within the variant (weights fixed, cache quantized)
+        for kv in ("kvint8", "kvint4"):
+            key = f"greedy_{kv}"
+            if key in r:
+                gk = r[key]
+                nk = min(len(gk), len(g))
+                line[f"{kv}_greedy_match"] = round(
+                    float((gk[:nk] == g[:nk]).mean()), 4)
+        lines.append(line)
+    return lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--new-tokens", type=int, default=200)
+    ap.add_argument("--tf-len", type=int, default=256,
+                    help="teacher-forced token window length")
+    ap.add_argument("--logit-win", type=int, default=64,
+                    help="trailing positions whose full logits are compared")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: AriaConfig.tiny()")
+    ap.add_argument("--from-hf", default="",
+                    help="real checkpoint dir (safetensors) instead of random init")
+    ap.add_argument("--variants", default="",
+                    help="comma list; default bf16,int8,int4,int4_a16")
+    ap.add_argument("--variant", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--out", default="", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.variant:  # child mode
+        if args.tiny:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        run_variant(args)
+        return
+
+    variants = [v.strip() for v in (args.variants or ",".join(VARIANTS)).split(",")]
+    assert "bf16" in variants, "the bf16 oracle is required"
+    tmpdir = tempfile.mkdtemp(prefix="quality_drift_")
+    results = {}
+    for v in variants:
+        out = os.path.join(tmpdir, f"{v}.npz")
+        cmd = [sys.executable, "-m", "tools.quality_drift", "--variant", v,
+               "--out", out, "--layers", str(args.layers),
+               "--experts", str(args.experts),
+               "--new-tokens", str(args.new_tokens),
+               "--tf-len", str(args.tf_len), "--logit-win", str(args.logit_win)]
+        if args.tiny:
+            cmd.append("--tiny")
+        if args.from_hf:
+            cmd += ["--from-hf", args.from_hf]
+        print(f"=== variant {v} ===", flush=True)
+        rc = subprocess.run(cmd, timeout=3600).returncode
+        if rc != 0:
+            print(json.dumps({"variant": v, "ok": False, "rc": rc}))
+            if v == "bf16":
+                raise SystemExit("bf16 oracle failed; cannot compare")
+            continue
+        results[v] = np.load(out)
+
+    print("\n=== drift vs bf16 oracle (same weights, real kernel paths) ===")
+    for line in compare(results, args.new_tokens):
+        print("RESULT " + json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
