@@ -14,3 +14,24 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
+
+# ---- test tiers (VERDICT r03 item 6) --------------------------------------
+# The full suite exceeds 9 minutes on a 1-CPU host; `pytest -m quick` is the
+# canonical fast "is HEAD green?" gate (CI runs it — .github/workflows/
+# test.yml), `pytest -m mesh` the heavy engine/mesh tier. Membership is by
+# module: modules dominated by pure-numpy/XLA-op numerics are quick; modules
+# that build engines, servers, or multi-device mesh programs are mesh.
+import pytest  # noqa: E402
+
+_QUICK_MODULES = {
+    "test_ops", "test_kernels", "test_token_fidelity", "test_data",
+    "test_chat", "test_spm", "test_utils", "test_native", "test_code_exec",
+    "test_checkpoint", "test_guided",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.quick if mod in _QUICK_MODULES
+                        else pytest.mark.mesh)
