@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from aria_tpu.config import AriaConfig
-from aria_tpu.engine.sampling import sample
+from aria_tpu.engine.guided import guided_mask, guided_next_state
+from aria_tpu.engine.sampling import apply_penalties, sample, update_counts
 from aria_tpu.models.aria import prepare_embeddings
 from aria_tpu.models.moe_lm import KVCache, lm_forward
 
@@ -33,12 +34,28 @@ class GenerationConfig:
     max_new_tokens: int = 256
     temperature: float = 0.8
     top_k: Optional[int] = 200
+    # Nucleus / min-p filtering (OpenAI + vLLM parameter parity; the
+    # reference reaches these via vLLM, docs/inference.md:80-149). Applied
+    # after top-k on the temperature-scaled logits, inside the jitted scan.
+    top_p: Optional[float] = None
+    min_p: Optional[float] = None
+    # Sampling penalties (vLLM semantics — see sampling.apply_penalties).
+    # Enabling any of these threads a [1, vocab] count plane through the
+    # decode scan (its own compiled variant; zero cost when disabled).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
     stop_token_ids: tuple[int, ...] = ()
     decode_chunk: int = 32
     # Constrained decoding (engine/guided.py): a TokenFSM compiled from a
     # regex or the JSON grammar. Applied as a gather+mask inside the jitted
     # decode scan — no per-step host sync.
     guided: Optional[object] = None  # TokenFSM
+
+    @property
+    def uses_penalties(self) -> bool:
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0)
 
 
 @dataclasses.dataclass
@@ -77,6 +94,7 @@ class Engine:
         self.cache_dtype = cache_dtype
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prefill_jit = {}
+        self._decode_jit = {}
         self.mesh = mesh
         if mesh is not None:
             # The serving analogue of the reference's device_map="auto" /
@@ -133,13 +151,15 @@ class Engine:
 
         return jax.jit(lambda params, pv, pm: encode_images(params, cfg, pv, pm))
 
-    def _prefill_fn(self, has_image: bool, guided: bool = False):
+    def _prefill_fn(self, has_image: bool, guided: bool = False,
+                    penalized: bool = False):
         cfg = self.cfg
         mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnames=("temperature", "top_k"), donate_argnums=(2,))
         def prefill(params, tokens, cache, true_len, rng, image_feats=None,
-                    fsm=None, gstate=None, *, temperature, top_k):
+                    fsm=None, gstate=None, top_p=None, min_p=None, pen=None,
+                    *, temperature, top_k):
             B, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, image_features=image_feats)
             kv_pos = jnp.arange(cache.k.shape[3])
@@ -154,63 +174,39 @@ class Engine:
                 mesh=mesh,
             )
             logits = out.logits[:, 0]
+            counts = None
+            if penalized:
+                counts, prompt_mask, pres, freq, rep = pen
+                logits = apply_penalties(logits, counts, prompt_mask, pres, freq, rep)
             if guided:
-                from aria_tpu.engine.guided import guided_mask, guided_next_state
-
                 logits = guided_mask(*fsm, gstate, logits)
-                next_tok = sample(rng, logits, temperature, top_k)
-                return next_tok, out.cache, guided_next_state(fsm[0], gstate, next_tok)
-            next_tok = sample(rng, logits, temperature, top_k)
-            return next_tok, out.cache
+            next_tok = sample(rng, logits, temperature, top_k, top_p, min_p)
+            if penalized:
+                counts = update_counts(counts, next_tok)
+            gstate = (guided_next_state(fsm[0], gstate, next_tok) if guided else None)
+            return next_tok, out.cache, gstate, counts
 
         return prefill
 
-    @functools.cached_property
-    def _decode_chunk_jit(self):
+    def _decode_fn(self, guided: bool, penalized: bool):
+        """One decode-chunk program per (guided, penalized) combination —
+        each feature threads extra scan state (FSM state / the [B, V] token
+        counts), so disabled features cost nothing in the compiled step."""
         cfg = self.cfg
         mesh = self.mesh
 
         @functools.partial(
             jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
         )
-        def decode_n(params, first_token, cache, start_pos, rng, *, n_steps, temperature, top_k):
-            kv_pos = jnp.arange(cache.k.shape[3])
-
-            def step(carry, i):
-                tok, cache, pos = carry
-                step_rng = jax.random.fold_in(rng, i)
-                mask = (kv_pos <= pos)[None, None, None, :]
-                out = lm_forward(
-                    params["lm"], cfg.text, tok[:, None],
-                    positions=pos[None], mask=mask,
-                    cache=cache, cache_pos=pos,
-                    mesh=mesh,
-                )
-                nxt = sample(step_rng, out.logits[:, -1], temperature, top_k)
-                return (nxt, out.cache, pos + 1), nxt
-
-            (_, cache, _), toks = jax.lax.scan(
-                step, (first_token, cache, start_pos), jnp.arange(n_steps)
-            )
-            return toks, cache  # toks: [n_steps, B]
-
-        return decode_n
-
-    @functools.cached_property
-    def _decode_chunk_guided_jit(self):
-        cfg = self.cfg
-        mesh = self.mesh
-        from aria_tpu.engine.guided import guided_mask, guided_next_state
-
-        @functools.partial(
-            jax.jit, static_argnames=("n_steps", "temperature", "top_k"), donate_argnums=(2,)
-        )
-        def decode_n(params, first_token, cache, start_pos, rng, fsm, gstate,
+        def decode_n(params, first_token, cache, start_pos, rng, fsm=None,
+                     gstate=None, top_p=None, min_p=None, pen=None,
                      *, n_steps, temperature, top_k):
             kv_pos = jnp.arange(cache.k.shape[3])
+            if penalized:
+                counts, prompt_mask, pres, freq, rep = pen
 
             def step(carry, i):
-                tok, cache, pos, gstate = carry
+                tok, cache, pos, gstate, counts = carry
                 step_rng = jax.random.fold_in(rng, i)
                 mask = (kv_pos <= pos)[None, None, None, :]
                 out = lm_forward(
@@ -219,15 +215,24 @@ class Engine:
                     cache=cache, cache_pos=pos,
                     mesh=mesh,
                 )
-                logits = guided_mask(*fsm, gstate, out.logits[:, -1])
-                nxt = sample(step_rng, logits, temperature, top_k)
-                gstate = guided_next_state(fsm[0], gstate, nxt)
-                return (nxt, out.cache, pos + 1, gstate), nxt
+                logits = out.logits[:, -1]
+                if penalized:
+                    logits = apply_penalties(logits, counts, prompt_mask, pres, freq, rep)
+                if guided:
+                    logits = guided_mask(*fsm, gstate, logits)
+                nxt = sample(step_rng, logits, temperature, top_k, top_p, min_p)
+                if penalized:
+                    counts = update_counts(counts, nxt)
+                if guided:
+                    gstate = guided_next_state(fsm[0], gstate, nxt)
+                return (nxt, out.cache, pos + 1, gstate, counts), nxt
 
-            (_, cache, _, gstate), toks = jax.lax.scan(
-                step, (first_token, cache, start_pos, gstate), jnp.arange(n_steps)
+            init = (first_token, cache, start_pos, gstate,
+                    pen[0] if penalized else None)
+            (_, cache, _, gstate, counts), toks = jax.lax.scan(
+                step, init, jnp.arange(n_steps)
             )
-            return toks, cache, gstate
+            return toks, cache, gstate, counts  # toks: [n_steps, B]
 
         return decode_n
 
@@ -260,9 +265,10 @@ class Engine:
 
         has_image = pixel_values is not None
         guided = gen.guided is not None
-        key = (has_image, bucket, guided)
+        penalized = gen.uses_penalties
+        key = (has_image, bucket, guided, penalized)
         if key not in self._prefill_jit:
-            self._prefill_jit[key] = self._prefill_fn(has_image, guided)
+            self._prefill_jit[key] = self._prefill_fn(has_image, guided, penalized)
         prefill = self._prefill_jit[key]
 
         self._rng, rng_p = jax.random.split(self._rng)
@@ -270,22 +276,41 @@ class Engine:
 
         t0 = time.perf_counter()
         kwargs = dict(temperature=gen.temperature, top_k=gen.top_k)
+        fsm = None
         if guided:
             fsm = (gen.guided.trans, gen.guided.accepting, gen.guided.stop_mask)
             kwargs.update(fsm=fsm, gstate=jnp.full((1,), gen.guided.start, jnp.int32))
+        top_p = min_p = None
+        if gen.top_p is not None:
+            top_p = jnp.full((1,), float(gen.top_p), jnp.float32)
+            kwargs.update(top_p=top_p)
+        if gen.min_p is not None:
+            min_p = jnp.full((1,), float(gen.min_p), jnp.float32)
+            kwargs.update(min_p=min_p)
+        pen_static = None
+        if penalized:
+            V = cfg.text.vocab_size
+            pmask = np.zeros((1, V), bool)
+            pmask[0, np.asarray(prompt_tokens, np.int32)] = True
+            pen_static = (
+                jnp.asarray(pmask),
+                jnp.full((1,), gen.presence_penalty, jnp.float32),
+                jnp.full((1,), gen.frequency_penalty, jnp.float32),
+                jnp.full((1,), gen.repetition_penalty, jnp.float32),
+            )
+            kwargs.update(pen=(jnp.zeros((1, V), jnp.int32),) + pen_static)
         if has_image:
             feats = self._encode_jit(
                 self.params, jnp.asarray(pixel_values), jnp.asarray(pixel_mask)
             )
-            next_tok, cache, *gst = prefill(
+            next_tok, cache, gstate, counts = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p,
                 feats, **kwargs,
             )
         else:
-            next_tok, cache, *gst = prefill(
+            next_tok, cache, gstate, counts = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p, **kwargs,
             )
-        gstate = gst[0] if guided else None
         first = int(next_tok[0])  # blocks until prefill done
         t1 = time.perf_counter()
 
@@ -303,21 +328,20 @@ class Engine:
         # serializing with it. On a stop, at most one speculative chunk of
         # compute is discarded (the reference pays a per-step sync instead,
         # gptfast/generate.py:324-335).
+        dkey = (guided, penalized)
+        if dkey not in self._decode_jit:
+            self._decode_jit[dkey] = self._decode_fn(guided, penalized)
+        decode = self._decode_jit[dkey]
         while True:
             if not stopped and planned < gen.max_new_tokens:
                 n = min(gen.decode_chunk, gen.max_new_tokens - planned)
                 self._rng, rng_d = jax.random.split(self._rng)
-                if guided:
-                    toks, cache, gstate = self._decode_chunk_guided_jit(
-                        self.params, cur, cache, jnp.int32(pos), rng_d,
-                        fsm, gstate,
-                        n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
-                    )
-                else:
-                    toks, cache = self._decode_chunk_jit(
-                        self.params, cur, cache, jnp.int32(pos), rng_d,
-                        n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
-                    )
+                toks, cache, gstate, counts = decode(
+                    self.params, cur, cache, jnp.int32(pos), rng_d,
+                    fsm, gstate, top_p, min_p,
+                    (counts,) + pen_static if penalized else None,
+                    n_steps=n, temperature=gen.temperature, top_k=gen.top_k,
+                )
                 nxt = toks
                 planned += n
                 pos += n

@@ -97,7 +97,7 @@ class ServingLoop:
 
     def _submit(self, prompt: str, max_new_tokens: int,
                 temperature: Optional[float], guided: bool = False,
-                adapter: Optional[str] = None, images=None):
+                adapter: Optional[str] = None, images=None, sampling=None):
         out = self.processor(prompt, images=images or None,
                              max_image_size=self.max_image_size)
         stop_ids = tuple(
@@ -109,17 +109,19 @@ class ServingLoop:
             stop_token_ids=stop_ids, temperature=temperature, guided=guided,
             adapter=adapter,
             pixel_values=out.pixel_values, pixel_mask=out.pixel_mask,
+            **(sampling or {}),
         )
         return uid, self.engine.queue[-1]
 
     def submit_and_wait(self, prompt: str, max_new_tokens: int = 256,
                         temperature: Optional[float] = None,
                         timeout: float = 600.0, guided: bool = False,
-                        adapter: Optional[str] = None, images=None):
+                        adapter: Optional[str] = None, images=None,
+                        sampling=None):
         ev = threading.Event()
         with self._lock:
             uid, _ = self._submit(prompt, max_new_tokens, temperature, guided,
-                                  adapter, images)
+                                  adapter, images, sampling)
             self._events[uid] = ev
         if not ev.wait(timeout):
             with self._lock:
@@ -143,12 +145,13 @@ class ServingLoop:
     def submit_stream(self, prompt: str, max_new_tokens: int = 256,
                       temperature: Optional[float] = None,
                       timeout: float = 600.0, guided: bool = False,
-                      adapter: Optional[str] = None, images=None):
+                      adapter: Optional[str] = None, images=None,
+                      sampling=None):
         """Returns (uid, iterator of per-chunk token-id lists)."""
         q: queue_mod.Queue = queue_mod.Queue()
         with self._lock:
             uid, req = self._submit(prompt, max_new_tokens, temperature, guided,
-                                    adapter, images)
+                                    adapter, images, sampling)
             self._streams[uid] = q
             self._stream_reqs[uid] = req
             self._sent[uid] = 0
@@ -337,7 +340,8 @@ def make_handler(loop: ServingLoop):
             return json.loads(self.rfile.read(length) or b"{}")
 
         def _stream_text(self, prompt, max_new, temperature, guided=False,
-                         stop_strings=(), adapter=None, images=None):
+                         stop_strings=(), adapter=None, images=None,
+                         sampling=None):
             """Shared incremental detokenizer for both streaming APIs: yields
             (delta_text, token_ids) per decode chunk. Stop strings truncate
             the stream and CANCEL the request so the lane frees immediately
@@ -345,7 +349,7 @@ def make_handler(loop: ServingLoop):
             gptfast/generate.py:324-335)."""
             uid, deltas = loop.submit_stream(prompt, max_new, temperature,
                                              guided=guided, adapter=adapter,
-                                             images=images)
+                                             images=images, sampling=sampling)
             toks: List[int] = []
             sent_text = ""
             stopped = False
@@ -389,6 +393,18 @@ def make_handler(loop: ServingLoop):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         @staticmethod
+        def _sampling_params(payload) -> dict:
+            """OpenAI (top_p, presence/frequency_penalty) + vLLM-extension
+            (min_p, repetition_penalty) sampling params, passed through to
+            the engine's per-lane sampling state."""
+            return {
+                k: float(payload[k])
+                for k in ("top_p", "min_p", "presence_penalty",
+                          "frequency_penalty", "repetition_penalty")
+                if payload.get(k) is not None
+            }
+
+        @staticmethod
         def _stops(payload) -> tuple:
             s = payload.get("stop") or ()
             return (s,) if isinstance(s, str) else tuple(s)
@@ -399,6 +415,7 @@ def make_handler(loop: ServingLoop):
             temp = payload.get("temperature")
             stops = self._stops(payload)
             adapter = payload.get("adapter")
+            samp = self._sampling_params(payload)
             images = [_decode_image(u) for u in payload.get("images", [])]
             if payload.get("stream"):
                 self._sse(
@@ -406,11 +423,13 @@ def make_handler(loop: ServingLoop):
                     for d, t in self._stream_text(prompt, max_new, temp,
                                                   stop_strings=stops,
                                                   adapter=adapter,
-                                                  images=images)
+                                                  images=images,
+                                                  sampling=samp)
                 )
                 return
             result = loop.submit_and_wait(prompt, max_new, temp,
-                                          adapter=adapter, images=images)
+                                          adapter=adapter, images=images,
+                                          sampling=samp)
             cut = min((i for i in (result["text"].find(s) for s in stops)
                        if i >= 0), default=-1)
             if cut >= 0:
@@ -434,6 +453,7 @@ def make_handler(loop: ServingLoop):
                 in ("json_object", "json_schema")
             )
             stops = self._stops(payload)
+            samp = self._sampling_params(payload)
             n = int(payload.get("n", 1))
             model = payload.get("model")
             adapter = None if model in (None, MODEL_ID) else model
@@ -457,7 +477,8 @@ def make_handler(loop: ServingLoop):
                                                           guided=guided,
                                                           stop_strings=stops,
                                                           adapter=adapter,
-                                                          images=images):
+                                                          images=images,
+                                                          sampling=samp):
                         choice = (
                             {"index": 0, "delta": {"content": delta},
                              "finish_reason": None}
@@ -486,14 +507,15 @@ def make_handler(loop: ServingLoop):
             if n == 1:
                 results = [loop.submit_and_wait(prompt, max_new, temp,
                                                 guided=guided, adapter=adapter,
-                                                images=images)]
+                                                images=images, sampling=samp)]
             else:
                 with ThreadPoolExecutor(max_workers=n) as ex:
                     results = list(ex.map(
                         lambda _: loop.submit_and_wait(prompt, max_new, temp,
                                                        guided=guided,
                                                        adapter=adapter,
-                                                       images=images),
+                                                       images=images,
+                                                       sampling=samp),
                         range(n)))
             choices = []
             total_completion = 0

@@ -28,7 +28,7 @@ import numpy as np
 
 from aria_tpu.config import AriaConfig
 from aria_tpu.engine.generate import GenerationConfig, _bucket
-from aria_tpu.engine.sampling import sample
+from aria_tpu.engine.sampling import apply_penalties, sample, update_counts
 from aria_tpu.models.aria import prepare_embeddings
 from aria_tpu.models.moe_lm import KVCache, lm_forward
 
@@ -42,6 +42,14 @@ class Request:
     pixel_values: Optional[np.ndarray] = None
     pixel_mask: Optional[np.ndarray] = None
     temperature: Optional[float] = None  # None = engine default
+    # per-request sampling params (OpenAI/vLLM parity; None = off). Setting
+    # any of them switches the engine's decode program to the variant that
+    # threads the extra sampling state — zero cost until first used.
+    top_p: Optional[float] = None
+    min_p: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
+    repetition_penalty: Optional[float] = None
     guided: bool = False  # constrain output with the engine's TokenFSM
     adapter_id: int = 0  # multi-LoRA: index into the engine's AdapterRegistry
     # filled by the server
@@ -127,6 +135,17 @@ class BatchedEngine:
         # it directly — no host round trip per admitted request
         self.lane_tok = jnp.zeros(self.B, jnp.int32)
         self.lane_temp = np.full(self.B, temperature, np.float32)  # per-lane sampling
+        # per-lane nucleus/min-p/penalty params at passthrough defaults; the
+        # decode program only reads them once a request enables the feature
+        self.lane_top_p = np.ones(self.B, np.float32)
+        self.lane_min_p = np.zeros(self.B, np.float32)
+        self.lane_pres = np.zeros(self.B, np.float32)
+        self.lane_freq = np.zeros(self.B, np.float32)
+        self.lane_rep = np.ones(self.B, np.float32)
+        self._nucleus = False  # a request used top_p/min_p
+        self._penalties = False  # a request used a penalty
+        self.lane_counts = None  # device [B, V] output-token counts
+        self.lane_pmask = None  # device [B, V] prompt-token mask
         self.lane_gstate = (
             jnp.full((self.B,), guided_fsm.free_state, jnp.int32)
             if guided_fsm is not None else None
@@ -162,7 +181,7 @@ class BatchedEngine:
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
         def prefill(params, tokens, cache, true_len, rng, lane, temp=0.0,
                     fsm=None, gstate=None, ml=None, lora_hot=None,
-                    image_feats=None):
+                    image_feats=None, top_p=None, min_p=None, pen=None):
             _, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, image_features=image_feats)
             # Slice ALL cache leaves (k, v and — for int8 caches — the fp32
@@ -188,11 +207,19 @@ class BatchedEngine:
                 cache, out.cache,
             )
             logits = out.logits[:, 0]
+            if pen is not None:
+                # fresh request: output counts are all zero, so only the
+                # prompt-side repetition penalty can bite the first token
+                pmask_new, pres, freq, rep = pen
+                logits = apply_penalties(
+                    logits, jnp.zeros_like(logits, jnp.int32), pmask_new,
+                    pres, freq, rep)
             if guided:
                 from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                 logits = guided_mask(*fsm, gstate, logits)
-            tok = sample(rng, logits, jnp.full((1,), temp, jnp.float32), self.top_k)
+            tok = sample(rng, logits, jnp.full((1,), temp, jnp.float32),
+                         self.top_k, top_p, min_p)
             extras = []
             if guided:
                 extras.append(guided_next_state(fsm[0], gstate, tok)[0])
@@ -219,7 +246,8 @@ class BatchedEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_multi(params, tokens, cache, true_lens, rng, lanes, temps,
-                          fsm=None, gstates=None, ml=None, lora_hot=None):
+                          fsm=None, gstates=None, ml=None, lora_hot=None,
+                          top_p=None, min_p=None, pen=None):
             N, S = tokens.shape
             embeds = prepare_embeddings(params, cfg, tokens, None, None)
             # A prefill-from-0 never READS pre-existing lane state (the causal
@@ -247,11 +275,22 @@ class BatchedEngine:
                 lambda full, ln: full.at[:, lanes, :, :S].set(ln), cache, out.cache
             )
             logits = out.logits[:, 0]
+            pmask_new = None
+            if pen is not None:
+                pres, freq, rep = pen
+                # prompt-token mask built in-graph from the padded prompt rows
+                valid = jnp.arange(S)[None, :] < true_lens[:, None]
+                pmask_new = jnp.zeros((N, logits.shape[-1]), bool).at[
+                    jnp.arange(N)[:, None], tokens
+                ].max(valid)
+                logits = apply_penalties(
+                    logits, jnp.zeros_like(logits, jnp.int32), pmask_new,
+                    pres, freq, rep)
             if guided:
                 from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                 logits = guided_mask(*fsm, gstates, logits)
-            toks = sample(rng, logits, temps, self.top_k)
+            toks = sample(rng, logits, temps, self.top_k, top_p, min_p)
             extras = []
             if guided:
                 extras.append(guided_next_state(fsm[0], gstates, toks))
@@ -259,6 +298,8 @@ class BatchedEngine:
                 from aria_tpu.engine.sampling import token_logprobs
 
                 extras.append(token_logprobs(out.logits[:, 0], toks, k=lp_k))
+            if pen is not None:
+                extras.append(pmask_new)
             return (toks, new_cache, *extras)
 
         return prefill_multi
@@ -273,13 +314,16 @@ class BatchedEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pos, active, temps, rng,
-                     fsm=None, gstate=None, ml=None, lora_hot=None, *, n_steps):
+                     fsm=None, gstate=None, ml=None, lora_hot=None,
+                     top_p=None, min_p=None, pen=None, *, n_steps):
             kv_pos = jnp.arange(cache.k.shape[3])
             lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
                    if multi else {})
+            if pen is not None:
+                counts0, pmask, pres, freq, rep = pen
 
             def step(carry, i):
-                toks, cache, pos, gstate = carry
+                toks, cache, pos, gstate, counts = carry
                 step_rng = jax.random.fold_in(rng, i)
                 mask = (kv_pos[None, :] <= pos[:, None])[:, None, None, :]  # [B,1,1,S]
                 out = lm_forward(
@@ -289,15 +333,19 @@ class BatchedEngine:
                     mesh=mesh, **lkw,
                 )
                 logits = out.logits[:, -1]
+                if pen is not None:
+                    logits = apply_penalties(logits, counts, pmask, pres, freq, rep)
                 if guided:
                     from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                     logits = guided_mask(*fsm, gstate, logits)
-                nxt = sample(step_rng, logits, temps, self.top_k)
+                nxt = sample(step_rng, logits, temps, self.top_k, top_p, min_p)
                 if guided:
                     gstate = jnp.where(
                         active, guided_next_state(fsm[0], gstate, nxt), gstate
                     )
+                if pen is not None:
+                    counts = update_counts(counts, nxt, active)
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
                 ys = nxt
@@ -305,14 +353,15 @@ class BatchedEngine:
                     from aria_tpu.engine.sampling import token_logprobs
 
                     ys = (nxt, token_logprobs(out.logits[:, -1], nxt, k=lp_k))
-                return (nxt, out.cache, pos, gstate), ys
+                return (nxt, out.cache, pos, gstate, counts), ys
 
             gstate0 = gstate if guided else jnp.zeros((), jnp.int32)
-            (toks, cache, pos, gstate), ys = jax.lax.scan(
-                step, (toks, cache, pos, gstate0), jnp.arange(n_steps)
+            counts0 = counts0 if pen is not None else jnp.zeros((), jnp.int32)
+            (toks, cache, pos, gstate, counts), ys = jax.lax.scan(
+                step, (toks, cache, pos, gstate0, counts0), jnp.arange(n_steps)
             )
             all_toks, lps = ys if lp_k else (ys, None)
-            return all_toks, toks, cache, pos, gstate, lps
+            return all_toks, toks, cache, pos, gstate, lps, counts
 
         return decode_n
 
@@ -328,20 +377,62 @@ class BatchedEngine:
         temperature: Optional[float] = None,
         guided: bool = False,
         adapter: Optional[str] = None,
+        top_p: Optional[float] = None,
+        min_p: Optional[float] = None,
+        presence_penalty: Optional[float] = None,
+        frequency_penalty: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
     ) -> int:
         if guided and self.guided_fsm is None:
             raise ValueError("engine was built without a guided_fsm")
         if adapter and self.adapters is None:
             raise ValueError("engine was built without adapters")
         self._uid += 1
+        if top_p is not None or min_p is not None:
+            self._nucleus = True
+        if (presence_penalty or frequency_penalty
+                or (repetition_penalty not in (None, 1.0))):
+            self._ensure_penalty_state()
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask,
             temperature=temperature, guided=guided,
+            top_p=top_p, min_p=min_p, presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
+            repetition_penalty=repetition_penalty,
             adapter_id=self.adapters.resolve(adapter) if self.adapters else 0,
         ))
         return self._uid
+
+    def _ensure_penalty_state(self):
+        if not self._penalties:
+            self._penalties = True
+            V = self.cfg.text.vocab_size
+            self.lane_counts = jnp.zeros((self.B, V), jnp.int32)
+            self.lane_pmask = jnp.zeros((self.B, V), bool)
+
+    def _sampling_kwargs(self, rows=None) -> dict:
+        """The per-lane nucleus/penalty arguments for a decode or grouped-
+        prefill call; `rows` selects a subset of lanes (grouped prefill)."""
+        kw = {}
+        sel = (lambda a: a) if rows is None else (lambda a: a[rows])
+        if self._nucleus:
+            kw["top_p"] = jnp.asarray(sel(self.lane_top_p))
+            kw["min_p"] = jnp.asarray(sel(self.lane_min_p))
+        return kw
+
+    @staticmethod
+    def _req_sampling(req) -> tuple:
+        return (1.0 if req.top_p is None else req.top_p,
+                0.0 if req.min_p is None else req.min_p,
+                req.presence_penalty or 0.0,
+                req.frequency_penalty or 0.0,
+                1.0 if req.repetition_penalty is None else req.repetition_penalty)
+
+    def _set_lane_sampling(self, lane: int, req) -> None:
+        (self.lane_top_p[lane], self.lane_min_p[lane], self.lane_pres[lane],
+         self.lane_freq[lane], self.lane_rep[lane]) = self._req_sampling(req)
 
     def _fsm_args(self):
         f = self.guided_fsm
@@ -400,12 +491,14 @@ class BatchedEngine:
         true_lens = np.zeros(Np, np.int32)
         temps = np.zeros(Np, np.float32)
         lanes_arr = np.zeros(Np, np.int32)
+        samp = np.zeros((Np, 5), np.float32)  # top_p/min_p/pres/freq/rep rows
         for row, i in enumerate(rows):
             req = group[i]
             tokens[row, : len(req.prompt_tokens)] = req.prompt_tokens
             true_lens[row] = len(req.prompt_tokens)
             temps[row] = self.temperature if req.temperature is None else req.temperature
             lanes_arr[row] = lanes[i]
+            samp[row] = self._req_sampling(req)
         key = ("multi", bucket, Np)
         if key not in self._prefill_jit:
             self._prefill_jit[key] = self._make_prefill_multi()
@@ -414,6 +507,11 @@ class BatchedEngine:
                 jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
                 jnp.asarray(temps))
         mlkw = {}
+        if self._nucleus:
+            mlkw.update(top_p=jnp.asarray(samp[:, 0]), min_p=jnp.asarray(samp[:, 1]))
+        if self._penalties:
+            mlkw.update(pen=(jnp.asarray(samp[:, 2]), jnp.asarray(samp[:, 3]),
+                             jnp.asarray(samp[:, 4])))
         if self.adapters is not None:
             ids = [group[i].adapter_id for i in rows]
             mlkw = dict(ml=self.adapters.stacked,
@@ -435,6 +533,13 @@ class BatchedEngine:
             self.lane_gstate = self.lane_gstate.at[
                 jnp.asarray(lanes_arr[:N])].set(extras.pop(0)[:N])
         lp_pack = extras.pop(0) if self.logprobs_topk else None
+        if self._penalties:
+            # scatter only the N real rows (pad rows repeat a lane id)
+            pmask_new = extras.pop(0)
+            ln = jnp.asarray(lanes_arr[:N])
+            self.lane_pmask = self.lane_pmask.at[ln].set(pmask_new[:N])
+            self.lane_counts = self.lane_counts.at[ln].set(0).at[
+                ln, toks[:N]].add(1)
         # Scatter only the N real rows: pad rows repeat lane N-1's id but draw
         # independent gumbel noise, so a duplicate-index scatter would leave a
         # nondeterministic winner in that lane (device token could diverge from
@@ -447,6 +552,7 @@ class BatchedEngine:
             self.lane_req[lane] = req
             self.lane_pos[lane] = len(req.prompt_tokens)
             self.lane_temp[lane] = float(temps[i])
+            self._set_lane_sampling(lane, req)
 
     def _admit(self) -> bool:
         lane = self._free_lane()
@@ -475,6 +581,19 @@ class BatchedEngine:
                 self.params, jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)
             ))
         req_temp = self.temperature if req.temperature is None else req.temperature
+        tp, mp, pres, freq, rep = self._req_sampling(req)
+        if self._nucleus:
+            kwargs.update(top_p=jnp.full((1,), tp, jnp.float32),
+                          min_p=jnp.full((1,), mp, jnp.float32))
+        pmask_new = None
+        if self._penalties:
+            pm = np.zeros((1, self.cfg.text.vocab_size), bool)
+            pm[0, np.asarray(req.prompt_tokens, np.int32)] = True
+            pmask_new = jnp.asarray(pm)
+            kwargs.update(pen=(pmask_new,
+                               jnp.full((1,), pres, jnp.float32),
+                               jnp.full((1,), freq, jnp.float32),
+                               jnp.full((1,), rep, jnp.float32)))
         if self.adapters is not None:
             kwargs.update(ml=self.adapters.stacked,
                           lora_hot=self.adapters.lane_onehot([req.adapter_id]))
@@ -500,10 +619,14 @@ class BatchedEngine:
         # scattered into the lane-token vector the decode chunk consumes, and
         # read back in ONE batched transfer at the next chunk drain.
         self.lane_tok = self.lane_tok.at[lane].set(tok)
+        if self._penalties:
+            self.lane_pmask = self.lane_pmask.at[lane].set(pmask_new[0])
+            self.lane_counts = self.lane_counts.at[lane].set(0).at[lane, tok].add(1)
         self._pending_first.append((lane, req, tok, lp_e))
         self.lane_req[lane] = req
         self.lane_pos[lane] = true_len
         self.lane_temp[lane] = req_temp
+        self._set_lane_sampling(lane, req)
         return True
 
     @staticmethod
@@ -520,6 +643,10 @@ class BatchedEngine:
             self._finished.append(req)
         self.lane_req[lane] = None
         self.lane_adapter[lane] = 0
+        self.lane_top_p[lane] = 1.0
+        self.lane_min_p[lane] = 0.0
+        self.lane_pres[lane] = self.lane_freq[lane] = 0.0
+        self.lane_rep[lane] = 1.0
         if self.guided_fsm is not None:
             self.lane_gstate = self.lane_gstate.at[lane].set(
                 self.guided_fsm.free_state)
@@ -565,12 +692,19 @@ class BatchedEngine:
         if self.adapters is not None:
             gkw.update(ml=self.adapters.stacked,
                        lora_hot=self.adapters.lane_onehot(self.lane_adapter))
-        all_toks, last, self.cache, pos, gstate, lps = self._decode_jit(
+        gkw.update(self._sampling_kwargs())
+        if self._penalties:
+            gkw["pen"] = (self.lane_counts, self.lane_pmask,
+                          jnp.asarray(self.lane_pres), jnp.asarray(self.lane_freq),
+                          jnp.asarray(self.lane_rep))
+        all_toks, last, self.cache, pos, gstate, lps, counts = self._decode_jit(
             self.params, self.lane_tok, self.cache,
             jnp.asarray(self.lane_pos), jnp.asarray(active),
             jnp.asarray(self.lane_temp), rng, **gkw,
             n_steps=self.decode_chunk,
         )
+        if self._penalties:
+            self.lane_counts = counts
         if self.guided_fsm is not None:
             self.lane_gstate = gstate
         toks_host = np.asarray(all_toks)  # [n, B] — the one sync per chunk
@@ -712,6 +846,16 @@ class PagedBatchedEngine:
         # first token in without a per-request host sync
         self.lane_tok = jnp.zeros(self.B, jnp.int32)
         self.lane_temp = np.full(self.B, temperature, np.float32)
+        # per-lane nucleus/min-p/penalty params (see BatchedEngine)
+        self.lane_top_p = np.ones(self.B, np.float32)
+        self.lane_min_p = np.zeros(self.B, np.float32)
+        self.lane_pres = np.zeros(self.B, np.float32)
+        self.lane_freq = np.zeros(self.B, np.float32)
+        self.lane_rep = np.ones(self.B, np.float32)
+        self._nucleus = False
+        self._penalties = False
+        self.lane_counts = None
+        self.lane_pmask = None
         self.lane_embeds: List = [None] * self.B  # device [1, bucket, D] during prefill
         self._pending_first: List = []  # (lane, req, device scalar)
         self.lane_true_len = np.zeros(self.B, np.int32)
@@ -737,7 +881,8 @@ class PagedBatchedEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_chunk(params, embeds, cache, pt_rows, offsets, logit_at, temp, rng,
-                          fsm=None, gstate=None, ml=None, lora_hot=None):
+                          fsm=None, gstate=None, ml=None, lora_hot=None,
+                          top_p=None, min_p=None, pen=None):
             # embeds: [N, C, D]; pt_rows: [N, MAXP]; offsets/logit_at/temp: [N]
             kv_pos = jnp.arange(K)
             qi = offsets[:, None] + jnp.arange(C)[None, :]  # [N, C]
@@ -752,11 +897,19 @@ class PagedBatchedEngine:
                 page_table=pt_rows, causal_flash=False, **lkw,
             )
             logits = out.logits[:, 0]
+            if pen is not None:
+                # first generated token of a fresh request: zero output
+                # counts; intermediate chunks' sampled tokens are
+                # placeholders, so penalizing them too is harmless
+                pmask_rows, pres, freq, rep = pen
+                logits = apply_penalties(
+                    logits, jnp.zeros_like(logits, jnp.int32), pmask_rows,
+                    pres, freq, rep)
             if guided:
                 from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                 logits = guided_mask(*fsm, gstate, logits)
-            toks = sample(rng, logits, temp, self.top_k)
+            toks = sample(rng, logits, temp, self.top_k, top_p, min_p)
             if guided:
                 # the host commits this state only on the COMPLETING chunk —
                 # intermediate chunks' sampled tokens are placeholders
@@ -774,13 +927,16 @@ class PagedBatchedEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pt, pos, active, temps, rng,
-                     fsm=None, gstate=None, ml=None, lora_hot=None, *, n_steps):
+                     fsm=None, gstate=None, ml=None, lora_hot=None,
+                     top_p=None, min_p=None, pen=None, *, n_steps):
             kv_pos = jnp.arange(K)
             lkw = (dict(lora=ml, lora_scale=1.0, lora_onehot=lora_hot)
                    if multi else {})
+            if pen is not None:
+                counts0, pmask, pres, freq, rep = pen
 
             def step(carry, i):
-                toks, cache, pos, gstate = carry
+                toks, cache, pos, gstate, counts = carry
                 step_rng = jax.random.fold_in(rng, i)
                 mask = (kv_pos[None, :] <= pos[:, None])[:, None, None, :]
                 out = lm_forward(
@@ -789,24 +945,30 @@ class PagedBatchedEngine:
                     cache=cache, cache_pos=pos, page_table=pt, **lkw,
                 )
                 logits = out.logits[:, -1]
+                if pen is not None:
+                    logits = apply_penalties(logits, counts, pmask, pres, freq, rep)
                 if guided:
                     from aria_tpu.engine.guided import guided_mask, guided_next_state
 
                     logits = guided_mask(*fsm, gstate, logits)
-                nxt = sample(step_rng, logits, temps, self.top_k)
+                nxt = sample(step_rng, logits, temps, self.top_k, top_p, min_p)
                 if guided:
                     gstate = jnp.where(
                         active, guided_next_state(fsm[0], gstate, nxt), gstate
                     )
+                if pen is not None:
+                    counts = update_counts(counts, nxt, active)
                 pos = jnp.where(active, pos + 1, pos)
                 nxt = jnp.where(active, nxt, toks)
-                return (nxt, cache if out.cache is None else out.cache, pos, gstate), nxt
+                return (nxt, cache if out.cache is None else out.cache,
+                        pos, gstate, counts), nxt
 
             gstate0 = gstate if guided else jnp.zeros((), jnp.int32)
-            (toks, cache, pos, gstate), all_toks = jax.lax.scan(
-                step, (toks, cache, pos, gstate0), jnp.arange(n_steps)
+            counts0 = counts0 if pen is not None else jnp.zeros((), jnp.int32)
+            (toks, cache, pos, gstate, counts), all_toks = jax.lax.scan(
+                step, (toks, cache, pos, gstate0, counts0), jnp.arange(n_steps)
             )
-            return all_toks, toks, cache, pos, gstate
+            return all_toks, toks, cache, pos, gstate, counts
 
         return decode_n
 
@@ -816,20 +978,38 @@ class PagedBatchedEngine:
 
     # ------------------------------------------------------------ API
 
+    # shared per-lane sampling-state helpers (same attrs on both engines)
+    _ensure_penalty_state = BatchedEngine._ensure_penalty_state
+    _sampling_kwargs = BatchedEngine._sampling_kwargs
+    _req_sampling = staticmethod(BatchedEngine._req_sampling)
+    _set_lane_sampling = BatchedEngine._set_lane_sampling
+
     def submit(self, prompt_tokens: Sequence[int], max_new_tokens: int = 256,
                stop_token_ids: Sequence[int] = (), pixel_values=None,
                pixel_mask=None, temperature: Optional[float] = None,
-               guided: bool = False, adapter: Optional[str] = None) -> int:
+               guided: bool = False, adapter: Optional[str] = None,
+               top_p: Optional[float] = None, min_p: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
+               repetition_penalty: Optional[float] = None) -> int:
         if guided and self.guided_fsm is None:
             raise ValueError("engine was built without a guided_fsm")
         if adapter and self.adapters is None:
             raise ValueError("engine was built without adapters")
         self._uid += 1
+        if top_p is not None or min_p is not None:
+            self._nucleus = True
+        if (presence_penalty or frequency_penalty
+                or (repetition_penalty not in (None, 1.0))):
+            self._ensure_penalty_state()
         self.queue.append(Request(
             uid=self._uid, prompt_tokens=list(prompt_tokens),
             max_new_tokens=max_new_tokens, stop_token_ids=tuple(stop_token_ids),
             pixel_values=pixel_values, pixel_mask=pixel_mask, temperature=temperature,
             guided=guided,
+            top_p=top_p, min_p=min_p, presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
+            repetition_penalty=repetition_penalty,
             adapter_id=self.adapters.resolve(adapter) if self.adapters else 0,
         ))
         return self._uid
@@ -913,6 +1093,12 @@ class PagedBatchedEngine:
         req.cached_tokens = len(shared) * self.PS
         self.lane_true_len[lane] = true_len
         self.lane_temp[lane] = self.temperature if req.temperature is None else req.temperature
+        self._set_lane_sampling(lane, req)
+        if self._penalties:
+            pm = np.zeros((self.cfg.text.vocab_size,), bool)
+            pm[np.asarray(req.prompt_tokens, np.int32)] = True
+            self.lane_pmask = self.lane_pmask.at[lane].set(jnp.asarray(pm))
+            self.lane_counts = self.lane_counts.at[lane].set(0)
         self.lane_embeds[lane] = self._embeds_for(req, n_chunks * self.C)
         return True
 
@@ -963,6 +1149,12 @@ class PagedBatchedEngine:
                 ml=self.adapters.stacked,
                 lora_hot=self.adapters.lane_onehot(self.lane_adapter[rows]),
             )
+        mlkw.update(self._sampling_kwargs(rows))
+        if self._penalties:
+            mlkw["pen"] = (jnp.take(self.lane_pmask, jnp.asarray(rows), axis=0),
+                           jnp.asarray(self.lane_pres[rows]),
+                           jnp.asarray(self.lane_freq[rows]),
+                           jnp.asarray(self.lane_rep[rows]))
         new_g = None
         if self.guided_fsm is not None:
             f = self.guided_fsm
@@ -986,6 +1178,8 @@ class PagedBatchedEngine:
             req = self.lane_req[lane]
             tok = toks[idx]
             self.lane_tok = self.lane_tok.at[lane].set(tok)
+            if self._penalties:
+                self.lane_counts = self.lane_counts.at[lane, tok].add(1)
             self._pending_first.append((lane, req, tok))
             self.lane_pos[lane] = true_len
             self.lane_state[lane] = self.DECODE
@@ -1025,6 +1219,10 @@ class PagedBatchedEngine:
         self.lane_state[lane] = None
         self.lane_embeds[lane] = None
         self.lane_adapter[lane] = 0
+        self.lane_top_p[lane] = 1.0
+        self.lane_min_p[lane] = 0.0
+        self.lane_pres[lane] = self.lane_freq[lane] = 0.0
+        self.lane_rep[lane] = 1.0
         if self.guided_fsm is not None:
             self.lane_gstate = self.lane_gstate.at[lane].set(
                 self.guided_fsm.free_state)
@@ -1075,12 +1273,20 @@ class PagedBatchedEngine:
                     ml=self.adapters.stacked,
                     lora_hot=self.adapters.lane_onehot(self.lane_adapter),
                 )
-            all_toks, last, self.cache, pos, gstate = self._decode_jit(
+            gkw.update(self._sampling_kwargs())
+            if self._penalties:
+                gkw["pen"] = (self.lane_counts, self.lane_pmask,
+                              jnp.asarray(self.lane_pres),
+                              jnp.asarray(self.lane_freq),
+                              jnp.asarray(self.lane_rep))
+            all_toks, last, self.cache, pos, gstate, counts = self._decode_jit(
                 self.params, self.lane_tok, self.cache,
                 jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),
                 jnp.asarray(active), jnp.asarray(self.lane_temp), rng, **gkw,
                 n_steps=self.decode_chunk,
             )
+            if self._penalties:
+                self.lane_counts = counts
             if self.guided_fsm is not None:
                 self.lane_gstate = gstate
             toks_host = np.asarray(all_toks)

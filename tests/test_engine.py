@@ -89,3 +89,60 @@ class TestEngine:
             pixel_values=pixels2, pixel_mask=mask,
         )
         assert res.tokens != res2.tokens or True  # may coincide; just smoke-check shapes
+
+
+class TestSamplingParams:
+    """Engine-level top-p / min-p / penalties (OpenAI + vLLM parameter
+    parity; the reference reaches these via vLLM, docs/inference.md:80-149)."""
+
+    def test_top_p_one_is_identity(self):
+        # top_p=1.0 passes every token through, so with the same engine seed
+        # the sampled continuation must equal the unfiltered one
+        a = make_engine()
+        b = make_engine()
+        prompt = [5, 17, 3]
+        g = dict(max_new_tokens=8, temperature=1.0, top_k=None, decode_chunk=4)
+        r0 = a.generate(prompt, GenerationConfig(**g))
+        r1 = b.generate(prompt, GenerationConfig(top_p=1.0, **g))
+        assert r0.tokens == r1.tokens
+
+    def test_tiny_top_p_is_greedy(self):
+        a = make_engine()
+        b = make_engine()
+        prompt = [5, 17, 3]
+        r0 = a.generate(prompt, GenerationConfig(
+            max_new_tokens=8, temperature=0.0, top_k=None, decode_chunk=4))
+        r1 = b.generate(prompt, GenerationConfig(
+            max_new_tokens=8, temperature=1.0, top_k=None, top_p=1e-9,
+            decode_chunk=4))
+        assert r0.tokens == r1.tokens
+
+    def test_min_p_one_is_greedy(self):
+        a = make_engine()
+        b = make_engine()
+        prompt = [5, 17, 3]
+        r0 = a.generate(prompt, GenerationConfig(
+            max_new_tokens=8, temperature=0.0, top_k=None, decode_chunk=4))
+        r1 = b.generate(prompt, GenerationConfig(
+            max_new_tokens=8, temperature=1.0, top_k=None, min_p=1.0,
+            decode_chunk=4))
+        assert r0.tokens == r1.tokens
+
+    def test_repetition_penalty_forbids_repeats(self):
+        eng = make_engine()
+        prompt = [5, 17, 3, 200, 42]
+        res = eng.generate(prompt, GenerationConfig(
+            max_new_tokens=12, temperature=0.0, top_k=None,
+            repetition_penalty=1e6, decode_chunk=5))
+        toks = res.tokens
+        assert len(set(toks)) == len(toks), toks
+        assert not (set(toks) & set(prompt)), toks
+
+    def test_presence_penalty_forbids_output_repeats_only(self):
+        eng = make_engine()
+        prompt = [5, 17, 3]
+        res = eng.generate(prompt, GenerationConfig(
+            max_new_tokens=12, temperature=0.0, top_k=None,
+            presence_penalty=1e6, decode_chunk=4))
+        toks = res.tokens
+        assert len(set(toks)) == len(toks), toks

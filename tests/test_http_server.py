@@ -414,3 +414,31 @@ class TestOpenAICompat:
         )
         assert isinstance(content, str)
         assert all(ev["object"] == "chat.completion.chunk" for ev in events)
+
+
+class TestHTTPSamplingParams:
+    """OpenAI sampling params flow from the HTTP payload to the engine's
+    per-lane sampling state (top_p/min_p/penalties)."""
+
+    def test_repetition_penalty_changes_output(self, server):
+        base = post(server, {"prompt": "hello", "max_new_tokens": 8})
+        pen = post(server, {"prompt": "hello", "max_new_tokens": 8,
+                            "repetition_penalty": 1e6})
+        toks = pen["tokens"]
+        assert len(set(toks)) == len(toks), toks
+        assert base["error"] is None and pen["error"] is None
+
+    def test_oai_chat_accepts_sampling_params(self, server):
+        req = urllib.request.Request(
+            server + "/v1/chat/completions",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4, "temperature": 0.7, "top_p": 0.9,
+                "min_p": 0.01, "presence_penalty": 0.5,
+                "frequency_penalty": 0.5,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"] is not None

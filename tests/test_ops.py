@@ -182,3 +182,91 @@ class TestActivations:
     def test_silu_matches_torch(self):
         x = torch.randn(100)
         np.testing.assert_allclose(np.asarray(silu(t2j(x))), F.silu(x).numpy(), rtol=1e-5, atol=1e-6)
+
+
+class TestSamplingFilters:
+    """Nucleus/min-p/penalty sampling ops (OpenAI + vLLM parameter parity;
+    the reference reaches these via vLLM, docs/inference.md:80-149)."""
+
+    def _logits(self):
+        # probs [0.5, 0.3, 0.15, 0.05]
+        import math
+
+        return jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+
+    def test_top_p_keeps_minimal_prefix(self):
+        from aria_tpu.engine.sampling import filter_top_p
+
+        out = np.asarray(filter_top_p(self._logits(), jnp.array([0.7])))[0]
+        assert out[0] > -1e29 and out[1] > -1e29
+        assert out[2] < -1e29 and out[3] < -1e29
+        # exactly reaching p with the first token keeps only it
+        out = np.asarray(filter_top_p(self._logits(), jnp.array([0.5])))[0]
+        assert out[0] > -1e29 and (out[1:] < -1e29).all()
+
+    def test_top_p_one_passes_through(self):
+        from aria_tpu.engine.sampling import filter_top_p
+
+        out = np.asarray(filter_top_p(self._logits(), jnp.array([1.0])))[0]
+        assert (out > -1e29).all()
+
+    def test_top_p_per_row(self):
+        from aria_tpu.engine.sampling import filter_top_p
+
+        logits = jnp.tile(self._logits(), (2, 1))
+        out = np.asarray(filter_top_p(logits, jnp.array([0.5, 1.0])))
+        assert (out[0, 1:] < -1e29).all() and (out[1] > -1e29).all()
+
+    def test_top_p_tail_beyond_shortlist_kept_when_head_mass_insufficient(self):
+        from aria_tpu.engine.sampling import filter_top_p
+
+        logits = jnp.zeros((1, 1000), jnp.float32)  # uniform
+        out = np.asarray(filter_top_p(logits, jnp.array([0.9]), shortlist=256))
+        # head of 256 uniform tokens carries 0.256 < 0.9: pass through
+        assert (out > -1e29).all()
+
+    def test_min_p(self):
+        from aria_tpu.engine.sampling import filter_min_p
+
+        out = np.asarray(filter_min_p(self._logits(), jnp.array([0.4])))[0]
+        # threshold = 0.4 * 0.5 = 0.2: keeps 0.5 and 0.3
+        assert out[0] > -1e29 and out[1] > -1e29
+        assert out[2] < -1e29 and out[3] < -1e29
+        out = np.asarray(filter_min_p(self._logits(), jnp.array([0.0])))[0]
+        assert (out > -1e29).all()
+
+    def test_penalties(self):
+        from aria_tpu.engine.sampling import apply_penalties
+
+        logits = jnp.array([[2.0, -1.0, 0.5, 1.0]], jnp.float32)
+        counts = jnp.array([[3, 1, 0, 0]], jnp.int32)
+        prompt_mask = jnp.array([[False, False, True, False]])
+        out = np.asarray(apply_penalties(
+            logits, counts, prompt_mask,
+            presence=jnp.array([0.1]), frequency=jnp.array([0.2]),
+            repetition=jnp.array([2.0])))[0]
+        # tok0: output-seen: -0.1 - 3*0.2 then /2 (positive) = (2-0.7)/2
+        np.testing.assert_allclose(out[0], (2.0 - 0.7) / 2.0, rtol=1e-6)
+        # tok1: output-seen: -0.1 - 0.2 -> -1.3, negative -> *2
+        np.testing.assert_allclose(out[1], -2.6, rtol=1e-6)
+        # tok2: prompt-only: repetition applies, presence/frequency don't
+        np.testing.assert_allclose(out[2], 0.25, rtol=1e-6)
+        # tok3: unseen: untouched
+        np.testing.assert_allclose(out[3], 1.0, rtol=1e-6)
+
+    def test_update_counts_masks_inactive(self):
+        from aria_tpu.engine.sampling import update_counts
+
+        counts = jnp.zeros((2, 5), jnp.int32)
+        toks = jnp.array([1, 3], jnp.int32)
+        out = np.asarray(update_counts(counts, toks, jnp.array([True, False])))
+        assert out[0, 1] == 1 and out[1].sum() == 0
+
+    def test_sample_top_p_composes(self):
+        from aria_tpu.engine.sampling import sample
+
+        logits = jnp.tile(self._logits(), (64, 1))
+        out = np.asarray(sample(jax.random.PRNGKey(0), logits,
+                                temperature=1.0, top_k=3,
+                                top_p=jnp.full((64,), 0.7)))
+        assert set(out.tolist()) <= {0, 1}

@@ -379,3 +379,79 @@ class TestBatchedMultimodal:
         srv = BatchedEngine(params, TINY, max_lanes=1, max_seq_len=100,
                             cache_dtype=jnp.float32)
         assert srv.S == 128  # rounds up to the kernel-minimum 128 multiple
+
+
+class TestServerSamplingParams:
+    """Per-lane top-p / min-p / penalties in the batched engines (OpenAI +
+    vLLM parameter parity; the reference reaches these via vLLM)."""
+
+    def _mixed(self, server):
+        # mixed batch: a plain greedy lane, a min_p=1.0 lane (greedy-
+        # equivalent under temperature), a repetition-penalty greedy lane
+        prompts = [[5, 17, 3], [9, 9, 200, 41, 7], [100, 2, 30, 44]]
+        u_plain = server.submit(prompts[0], max_new_tokens=8)
+        u_minp = server.submit(prompts[1], max_new_tokens=8,
+                               temperature=1.0, min_p=1.0)
+        u_rep = server.submit(prompts[2], max_new_tokens=10,
+                              repetition_penalty=1e6)
+        fin = {r.uid: r for r in server.run_until_complete()}
+        assert not any(r.error for r in fin.values())
+        return prompts, (u_plain, u_minp, u_rep), fin
+
+    def _check(self, prompts, uids, fin, expected_plain, expected_minp):
+        u_plain, u_minp, u_rep = uids
+        assert fin[u_plain].generated == expected_plain
+        # min_p=1.0 keeps only the max-probability token: greedy
+        assert fin[u_minp].generated == expected_minp
+        rep = fin[u_rep].generated
+        assert len(set(rep)) == len(rep), rep
+        assert not (set(rep) & set(prompts[2])), rep
+
+    def test_batched_engine(self):
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        exp = [
+            single.generate(p, GenerationConfig(
+                max_new_tokens=8, temperature=0.0, top_k=None)).tokens
+            for p in [[5, 17, 3], [9, 9, 200, 41, 7]]
+        ]
+        server = BatchedEngine(
+            params, TINY, max_lanes=3, max_seq_len=128,
+            temperature=0.0, decode_chunk=4, cache_dtype=jnp.float32,
+        )
+        prompts, uids, fin = self._mixed(server)
+        self._check(prompts, uids, fin, exp[0], exp[1])
+
+    def test_paged_engine(self):
+        from aria_tpu.engine.server import PagedBatchedEngine
+
+        params = make_params()
+        single = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        exp = [
+            single.generate(p, GenerationConfig(
+                max_new_tokens=8, temperature=0.0, top_k=None)).tokens
+            for p in [[5, 17, 3], [9, 9, 200, 41, 7]]
+        ]
+        server = PagedBatchedEngine(
+            params, TINY, max_lanes=3, max_seq_len=128, page_size=32,
+            prefill_chunk=16, temperature=0.0, decode_chunk=4,
+            cache_dtype=jnp.float32,
+        )
+        prompts, uids, fin = self._mixed(server)
+        self._check(prompts, uids, fin, exp[0], exp[1])
+
+    def test_top_p_one_matches_plain_sampling(self):
+        # same seed, same batch layout: a top_p=1.0 run must reproduce the
+        # plain sampled run token for token (nucleus passthrough)
+        params = make_params()
+        outs = []
+        for top_p in (None, 1.0):
+            server = BatchedEngine(
+                params, TINY, max_lanes=2, max_seq_len=128,
+                temperature=1.0, top_k=50, decode_chunk=4,
+                cache_dtype=jnp.float32, rng_seed=7,
+            )
+            u = server.submit([5, 17, 3], max_new_tokens=8, top_p=top_p)
+            fin = {r.uid: r for r in server.run_until_complete()}
+            outs.append(fin[u].generated)
+        assert outs[0] == outs[1]
