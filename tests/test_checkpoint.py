@@ -237,3 +237,45 @@ class TestStreamedServingImport:
         b = import_hf_state_dict(SafetensorsDir(str(tmp_path / "hf")), cfg, dtype=jnp.float32)
         for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestFlagshipCkptGenerator:
+    """tools/make_flagship_ckpt.py writes HF-Aria tensor names/shapes that the
+    bench --from-hf load path (streamed int4 LM + bf16 vision/projector
+    import) accepts — the naming contract guarded at tiny scale so the
+    flagship-scale run (VERDICT r03 item 5) can't silently drift."""
+
+    def test_generated_dir_feeds_from_hf_path(self, tmp_path, monkeypatch):
+        from aria_tpu.checkpoint.io import (
+            SafetensorsDir,
+            _import_projector,
+            _import_vision,
+            import_hf_lm_serving_int4,
+        )
+        from aria_tpu.models.moe_lm import init_lm_params_serving_int4
+        from tools.make_flagship_ckpt import main as make_ckpt
+
+        monkeypatch.setattr(
+            "sys.argv",
+            ["make_flagship_ckpt", "--out", str(tmp_path / "hf"), "--tiny"],
+        )
+        make_ckpt()
+
+        cfg = AriaConfig.tiny()
+        st = SafetensorsDir(str(tmp_path / "hf"))
+        lm = import_hf_lm_serving_int4(st, cfg.text, expert_chunk=4, layer_chunk=1)
+        ref = jax.eval_shape(
+            lambda k: init_lm_params_serving_int4(k, cfg.text), jax.random.PRNGKey(0)
+        )
+        got_leaves = jax.tree.leaves_with_path(lm)
+        ref_leaves = jax.tree.leaves_with_path(ref)
+        assert [p for p, _ in got_leaves] == [p for p, _ in ref_leaves]
+        for (p, a), (_, b) in zip(got_leaves, ref_leaves):
+            assert a.shape == b.shape and a.dtype == b.dtype, p
+        assert np.isfinite(np.asarray(lm["final_norm"], np.float32)).all()
+
+        vis = _import_vision(st.get, cfg.vision, jnp.float32)
+        proj = _import_projector(st.get, cfg.projector, jnp.float32)
+        for tree in (vis, proj):
+            for x in jax.tree.leaves(tree):
+                assert np.isfinite(np.asarray(x)).all()
