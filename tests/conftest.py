@@ -26,7 +26,7 @@ import pytest  # noqa: E402
 _QUICK_MODULES = {
     "test_ops", "test_kernels", "test_token_fidelity", "test_data",
     "test_chat", "test_spm", "test_utils", "test_native", "test_code_exec",
-    "test_checkpoint", "test_guided", "test_download",
+    "test_checkpoint", "test_guided", "test_download", "test_quality_drift",
 }
 
 

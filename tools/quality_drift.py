@@ -78,27 +78,74 @@ def derive(variant: str, params, cfg):
         fuse_shared_experts, quantize_lm_params_int4, quantize_params,
     )
 
+    # The drift measurement is text-only (teacher-forced window + greedy
+    # decode) — the vision tower is never executed, so it is dropped from
+    # every child's tree. This is ALSO load-bearing on the axon relay:
+    # running the donated vit/projector-quantize jits in the same process
+    # poisons every later device->host transfer with RESOURCE_EXHAUSTED
+    # (bisected r04: compute still succeeds, any np.asarray — even 1.6MB —
+    # fails; without the vit/proj quantize step the same forwards and
+    # transfers are clean).
+    params = {"lm": params["lm"]}
     if variant == "bf16":
         return params  # unfused: shared experts run as the separate MLP
     if variant == "int8":
         params = jax.jit(quantize_params, donate_argnums=0)(params)
         jax.block_until_ready(params)
         params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
-    else:  # int4 / int4_a16: int4 experts+dense, int8 vit/proj/head/embed
-        from aria_tpu.ops.quant import quantize_projector_params, quantize_vit_params
-
-        lm = jax.jit(quantize_lm_params_int4, donate_argnums=0)(params["lm"])
+    else:  # int4 / int4_a16: int4 experts+dense, int8 head/embed
+        lm = _quantize_lm_int4_chunked(params["lm"])
         jax.block_until_ready(lm)
-        out = {"lm": fuse_shared_experts({"lm": lm},
-                                         cfg.text.num_shared_experts)["lm"]}
-        if "vision" in params:
-            out["vision"] = jax.jit(quantize_vit_params, donate_argnums=0)(
-                params["vision"])
-            out["projector"] = jax.jit(quantize_projector_params,
-                                       donate_argnums=0)(params["projector"])
-        params = out
+        params = {"lm": fuse_shared_experts({"lm": lm},
+                                            cfg.text.num_shared_experts)["lm"]}
     jax.block_until_ready(params)
     return params
+
+
+def _quantize_lm_int4_chunked(lm: dict) -> dict:
+    """quantize_lm_params_int4, but the expert stacks go layer-by-layer
+    inside ONE jitted lax.scan: jitting the whole-tree transform needs bf16
+    stacks + f32 temps + outputs live at once (19.7GB on the shard-8
+    workload — the r04 on-chip OOM); the scan bounds the f32 temps at one
+    layer (~0.6GB). A scan (single program) rather than a Python loop of
+    donated per-layer calls: a 28-iteration donated-jit chain poisons the
+    axon relay — every later device->host transfer >~1KB in that process
+    dies with RESOURCE_EXHAUSTED while compute keeps working (bisected
+    r04; the bf16/int8 children, which never ran the loop, transfer 25MB
+    fine)."""
+    import jax
+
+    from aria_tpu.ops.dense_int4 import quantize_dense_int4
+    from aria_tpu.ops.quant import quantize_expert_int4, quantize_weight
+
+    layers = dict(lm["layers"])
+    w1, w2 = layers.pop("w1"), layers.pop("w2")
+
+    @jax.jit
+    def scan_quantize(w1, w2):
+        def step(_, wl):
+            return None, quantize_expert_int4(*wl)
+
+        _, (q1, q2) = jax.lax.scan(step, None, (w1, w2))
+        return q1, q2
+
+    layers["w1"], layers["w2"] = scan_quantize(w1, w2)
+    jax.block_until_ready(layers["w1"])
+    del w1, w2
+    # no donation anywhere in this tool: repeated donated jits are implicated
+    # in the relay D2H poisoning, and the residual non-expert tree is small
+    # enough (~2.6GB) that transient copies are free
+    for key in ("wqkv", "wo"):
+        layers[key] = jax.jit(quantize_dense_int4)(layers[key])
+    q8 = jax.jit(quantize_weight, static_argnums=1)
+    for key in ("shared_w1", "shared_w2"):
+        if key in layers:
+            layers[key] = q8(layers[key], -2)
+    out = dict(lm)
+    out["layers"] = layers
+    out["embed"] = q8(lm["embed"], -2)
+    out["lm_head"] = q8(lm["lm_head"], -2)
+    return out
 
 
 def run_variant(args):
@@ -126,18 +173,29 @@ def run_variant(args):
     rng = np.random.RandomState(123)
     tf = rng.randint(5, V - 10, size=(1, args.tf_len)).astype(np.int32)
     t0 = time.perf_counter()
-    logits = lm_forward(params["lm"], cfg.text, jnp.asarray(tf)).logits[0]
-    logits = np.asarray(logits, np.float32)  # [S, V]
+
+    # jit is load-bearing: eager op-by-op execution of the int4 paths
+    # materializes whole dequantized weight stacks as intermediates
+    # (RESOURCE_EXHAUSTED on chip); compiled, they fuse into the matmuls.
+    # NLL is reduced ON DEVICE so the host transfer is the [logit_win, V]
+    # window (~25MB) + a [S-1] vector instead of the full [S, V] logits —
+    # the axon relay's D2H path is ~12MB/s and fragile in loaded processes.
+    def tf_window(p, t):
+        logits = lm_forward(p, cfg.text, t).logits[0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp[:-1], t[0, 1:][:, None], axis=-1)[:, 0]
+        return nll, logits[-args.logit_win:]
+
+    nll_d, win_d = jax.jit(tf_window)(params["lm"], jnp.asarray(tf))
+    out["nll"] = np.asarray(nll_d, np.float32)
+    out["logits_win"] = np.asarray(win_d, np.float32)
+    out["tf_tokens"] = tf[0]
     print(f"# [{variant}] teacher-forced forward {time.perf_counter() - t0:.1f}s",
           flush=True)
-    logp = logits - _logsumexp(logits)
-    nll = -logp[np.arange(args.tf_len - 1), tf[0, 1:]]
-    out["nll"] = nll
-    out["logits_win"] = logits[-args.logit_win:]
-    out["tf_tokens"] = tf[0]
 
     # ---- greedy decode through the serving engine (real decode kernels)
-    del logits, logp
+    del nll_d, win_d
     prompt = rng.randint(5, V - 10, size=48).tolist()
     gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.0,
                            top_k=None, decode_chunk=50)
@@ -156,11 +214,6 @@ def run_variant(args):
 
     np.savez(args.out, **out)
     print(f"# [{variant}] wrote {args.out}", flush=True)
-
-
-def _logsumexp(x):
-    m = x.max(axis=-1, keepdims=True)
-    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
 
 
 def compare(results: dict, new_tokens: int) -> list:
@@ -207,6 +260,48 @@ def compare(results: dict, new_tokens: int) -> list:
     return lines
 
 
+def run_vision(args):
+    """Vision-tower drift, measured standalone: encode_images (ViT +
+    projector, the serving prefill's image path) on the SAME weights in
+    bf16 vs int8, over a fixed pixel input. Runs in its own process — the
+    LM drift children deliberately exclude the vision tower (see derive);
+    this covers the serving stack's remaining quantized component."""
+    import jax
+    import jax.numpy as jnp
+
+    from aria_tpu.models.aria import encode_images
+    from aria_tpu.models.projector import init_projector_params
+    from aria_tpu.models.vit import init_vit_params
+    from aria_tpu.ops.quant import quantize_projector_params, quantize_vit_params
+
+    cfg = build_cfg(args)
+    S = cfg.vision.image_size
+    bf16 = {
+        "vision": init_vit_params(jax.random.PRNGKey(1), cfg.vision,
+                                  jnp.bfloat16),
+        "projector": init_projector_params(jax.random.PRNGKey(2),
+                                           cfg.projector, jnp.bfloat16),
+    }
+    pixels = jnp.asarray(
+        np.random.RandomState(7).randn(1, 3, S, S) * 0.5, jnp.float32)
+    mask = jnp.ones((1, S, S), bool)
+    enc = jax.jit(lambda p, pv, pm: encode_images(p, cfg, pv, pm))
+    ref = np.asarray(enc(bf16, pixels, mask), np.float64)
+
+    q = {"vision": jax.jit(quantize_vit_params, donate_argnums=0)(bf16["vision"]),
+         "projector": jax.jit(quantize_projector_params, donate_argnums=0)(
+             bf16["projector"])}
+    got = np.asarray(enc(q, pixels, mask), np.float64)
+    rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+    cos = float((got * ref).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(ref)))
+    print("RESULT " + json.dumps({
+        "variant": "vision_int8", "feat_rel_err": round(rel, 6),
+        "feat_cos_sim": round(cos, 6),
+        "feat_shape": list(ref.shape),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=28)
@@ -222,15 +317,21 @@ def main():
                     help="real checkpoint dir (safetensors) instead of random init")
     ap.add_argument("--variants", default="",
                     help="comma list; default bf16,int8,int4,int4_a16")
+    ap.add_argument("--vision", action="store_true",
+                    help="measure the vision tower's bf16->int8 feature "
+                    "drift instead of the LM variants")
     ap.add_argument("--variant", default="", help=argparse.SUPPRESS)
     ap.add_argument("--out", default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    if args.variant:  # child mode
-        if args.tiny:
-            import jax
+    if args.tiny and (args.variant or args.vision):
+        import jax
 
-            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
+    if args.vision:
+        run_vision(args)
+        return
+    if args.variant:  # child mode
         run_variant(args)
         return
 
