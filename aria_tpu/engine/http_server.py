@@ -396,12 +396,22 @@ def make_handler(loop: ServingLoop):
         def _sampling_params(payload) -> dict:
             """OpenAI (top_p, presence/frequency_penalty) + vLLM-extension
             (min_p, repetition_penalty) sampling params, passed through to
-            the engine's per-lane sampling state."""
+            the engine's per-lane sampling state.
+
+            No-op defaults (top_p=1, min_p=0, penalties=0, repetition=1) are
+            dropped HERE: standard OpenAI clients send them on every request,
+            and forwarding one would permanently flip the engine's
+            _nucleus/_penalties flags — a decode recompile plus per-step
+            filtering/scatter work for all subsequent traffic."""
+            noop = {"top_p": lambda v: v >= 1.0,
+                    "min_p": lambda v: v <= 0.0,
+                    "presence_penalty": lambda v: v == 0.0,
+                    "frequency_penalty": lambda v: v == 0.0,
+                    "repetition_penalty": lambda v: v == 1.0}
             return {
                 k: float(payload[k])
-                for k in ("top_p", "min_p", "presence_penalty",
-                          "frequency_penalty", "repetition_penalty")
-                if payload.get(k) is not None
+                for k, is_noop in noop.items()
+                if payload.get(k) is not None and not is_noop(float(payload[k]))
             }
 
         @staticmethod

@@ -85,14 +85,17 @@ def apply_penalties(
     (presence once, frequency per occurrence); repetition_penalty divides
     positive / multiplies negative logits of tokens seen in prompt OR output
     (vLLM semantics; HF GenerationMixin's repetition_penalty is the
-    output-side special case)."""
+    output-side special case). Order matches vLLM's apply_penalties:
+    repetition divide/multiply on the RAW logits first, then subtract
+    presence/frequency — applying them the other way round would let the
+    repetition scaling also rescale the subtracted penalty amounts."""
     c = counts.astype(jnp.float32)
     out_seen = c > 0.0
-    logits = logits - presence[:, None] * out_seen - frequency[:, None] * c
     rep = jnp.maximum(repetition, 1e-6)[:, None]
     seen = out_seen | prompt_mask
     penalized = jnp.where(logits > 0.0, logits / rep, logits * rep)
-    return jnp.where(seen, penalized, logits)
+    logits = jnp.where(seen, penalized, logits)
+    return logits - presence[:, None] * out_seen - frequency[:, None] * c
 
 
 def update_counts(counts: Array, toks: Array, active: Optional[Array] = None) -> Array:

@@ -514,7 +514,7 @@ class BatchedEngine:
                              jnp.asarray(samp[:, 4])))
         if self.adapters is not None:
             ids = [group[i].adapter_id for i in rows]
-            mlkw = dict(ml=self.adapters.stacked,
+            mlkw.update(ml=self.adapters.stacked,
                         lora_hot=self.adapters.lane_onehot(ids))
             for i, req in enumerate(group):
                 self.lane_adapter[lanes[i]] = req.adapter_id

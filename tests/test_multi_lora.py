@@ -188,6 +188,36 @@ class TestEngineMultiLora:
         assert len(fin[g].logprobs) == len(fin[g].generated)
         assert len(fin[p].logprobs) == 4
 
+    def test_adapters_compose_with_penalties_in_grouped_prefill(self):
+        """Regression: _prefill_group's adapter branch must EXTEND the
+        sampling kwargs, not replace them — reassigning mlkw dropped the
+        `pen` argument, so the jitted graph never appended the prompt-mask
+        extra and the host's extras.pop(0) raised IndexError on any grouped
+        prefill after a penalized request (advisor r4, server.py:517)."""
+        params = make_params()
+        lora1, lc1 = make_adapter(1, rank=8)
+        reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
+        srv = BatchedEngine(params, TINY, max_lanes=4, max_seq_len=128,
+                            temperature=0.0, decode_chunk=3,
+                            cache_dtype=jnp.float32, adapters=reg)
+        n = 8
+        prompt_pen = [5, 17, 3]
+        prompt_ada = [9, 9, 200]
+        # both queued BEFORE run_until_complete -> one grouped prefill
+        u_pen = srv.submit(prompt_pen, max_new_tokens=n,
+                           repetition_penalty=1e6)
+        u_ada = srv.submit(prompt_ada, max_new_tokens=n, adapter="t1",
+                           top_p=0.9, temperature=0.0)
+        fin = {r.uid: r for r in srv.run_until_complete()}
+        # penalized lane: no token (incl. prompt tokens) ever repeats
+        gen = fin[u_pen].generated
+        assert fin[u_pen].error is None and len(gen) == n
+        assert len(set(gen + prompt_pen)) == len(gen + prompt_pen), gen
+        # adapter lane still matches its cacheless reference (top_p=0.9 at
+        # temperature 0 is greedy)
+        exp = _greedy_full(params, prompt_ada, n, lora1, lc1.scale)
+        assert fin[u_ada].generated == exp, (fin[u_ada].generated, exp)
+
     def test_unknown_adapter_rejected(self):
         params = make_params()
         lora1, lc1 = make_adapter(1)

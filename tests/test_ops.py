@@ -245,10 +245,11 @@ class TestSamplingFilters:
             logits, counts, prompt_mask,
             presence=jnp.array([0.1]), frequency=jnp.array([0.2]),
             repetition=jnp.array([2.0])))[0]
-        # tok0: output-seen: -0.1 - 3*0.2 then /2 (positive) = (2-0.7)/2
-        np.testing.assert_allclose(out[0], (2.0 - 0.7) / 2.0, rtol=1e-6)
-        # tok1: output-seen: -0.1 - 0.2 -> -1.3, negative -> *2
-        np.testing.assert_allclose(out[1], -2.6, rtol=1e-6)
+        # vLLM order: repetition on the RAW logits first, then pres/freq.
+        # tok0: output-seen: 2/2 (positive) = 1.0, then -0.1 - 3*0.2 = 0.3
+        np.testing.assert_allclose(out[0], 0.3, rtol=1e-6)
+        # tok1: output-seen: -1*2 = -2.0 (negative), then -0.1 - 0.2 = -2.3
+        np.testing.assert_allclose(out[1], -2.3, rtol=1e-6)
         # tok2: prompt-only: repetition applies, presence/frequency don't
         np.testing.assert_allclose(out[2], 0.25, rtol=1e-6)
         # tok3: unseen: untouched

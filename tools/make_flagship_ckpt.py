@@ -108,11 +108,15 @@ def main():
         print(f"# layer {i}: {total_bytes / 1e9:.1f} GB cumulative, "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
 
+    # embed and lm_head need DISTINCT buffers: save_file serializes after the
+    # dict is built, so refilling one shared buffer in place would write
+    # identical bytes for both tensors and mask an importer embed/head swap.
     embed = rand(V, D)
+    lm_head = rand(V, D)
     write_shard("model-head.safetensors", {
         "language_model.model.embed_tokens.weight": embed,
         "language_model.model.norm.weight": ones_d,
-        "language_model.lm_head.weight": rand.fill(embed),  # reuse the buffer
+        "language_model.lm_head.weight": lm_head,
     })
 
     if not args.no_vision:
