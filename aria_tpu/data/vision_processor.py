@@ -155,7 +155,20 @@ class AriaVisionProcessor:
         min_image_size: int | None = None,
         split_image: bool = False,
         split_ratios: Sequence[Tuple[int, int]] = DEFAULT_SPLIT_RATIOS,
+        normalize: bool = True,
     ) -> ImageBatch:
+        """``normalize=False`` emits raw uint8 CHW pixels (4x smaller): the
+        engines' ``encode_images`` normalizes uint8 inputs ON DEVICE with the
+        same ((x/255) - mean) / std sequence, so the host->device transfer
+        shrinks from 11.5MB to 2.9MB per 980px crop. Only valid for the
+        default mean/std 0.5 (the device path hardcodes the Aria constants,
+        models/aria.py:encode_images)."""
+        if not normalize and not (
+            (self.image_mean == 0.5).all() and (self.image_std == 0.5).all()
+        ):
+            raise ValueError(
+                "normalize=False requires the default mean/std 0.5 "
+                "(device-side normalization hardcodes them)")
         max_size = self.max_image_size if max_image_size is None else max_image_size
         min_size = self.min_image_size if min_image_size is None else min_image_size
         if max_size not in ALLOWED_MAX_SIZES:
@@ -172,7 +185,10 @@ class AriaVisionProcessor:
             crops = _split_image_fn(image, split_image, split_ratios, max_size)
             num_crops.append(len(crops))
             for crop in crops:
-                if use_native:
+                if not normalize:
+                    padded, mask = keep_ratio_resize_and_pixel_mask(crop, max_size, min_size)
+                    arr = np.asarray(padded, np.uint8).transpose(2, 0, 1)
+                elif use_native:
                     arr, mask = _native_resize_normalize(crop, max_size, min_size, mean3, std3)
                 else:
                     padded, mask = keep_ratio_resize_and_pixel_mask(crop, max_size, min_size)

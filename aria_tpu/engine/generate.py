@@ -301,7 +301,8 @@ class Engine:
             kwargs.update(pen=(jnp.zeros((1, V), jnp.int32),) + pen_static)
         if has_image:
             feats = self._encode_jit(
-                self.params, jnp.asarray(pixel_values), jnp.asarray(pixel_mask)
+                self.params, jnp.asarray(pixel_values),
+                None if pixel_mask is None else jnp.asarray(pixel_mask),
             )
             next_tok, cache, gstate, counts = prefill(
                 self.params, jnp.asarray(tokens), cache, jnp.int32(true_len), rng_p,

@@ -30,7 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aria_tpu.config import TextConfig
+from aria_tpu.ops.backend import kernel_interpret
 from aria_tpu.ops.decode_attention import NEG_INF, _attend_block
+from aria_tpu.ops.kv_write import _sublanes as _kvw_sublanes
+from aria_tpu.ops.kv_write import kv_cache_write, kvw_enabled
 
 
 class PagedKVCache(NamedTuple):
@@ -71,8 +74,17 @@ def paged_write(
     v_t: Array,
     k_sc: Optional[Array] = None,  # [B, H, S]
     v_sc: Optional[Array] = None,
+    use_kernel: bool = False,
 ) -> PagedKVCache:
-    """Scatter S new positions per lane into their pages."""
+    """Scatter S new positions per lane into their pages.
+
+    With ``use_kernel`` and S == 1 (the decode step), the K/V write runs
+    through the Pallas block-write kernel (ops/kv_write.py) instead of the
+    XLA per-(lane, head)-row scatter. Inactive lanes' zeroed tables resolve
+    to the reserved null page 0 at their frozen (differing) positions; those
+    writes are normalized to slot 0 so duplicate destinations are identical
+    (row, slot) pairs, satisfying the kernel's lost-update precondition —
+    page 0 is never read (scores are masked by the per-lane length)."""
     B, H, S, D = k_t.shape
     PS = cache.page_size
     logical = pos[:, None] + jnp.arange(S)[None, :]  # [B, S]
@@ -82,9 +94,18 @@ def paged_write(
     pi = page_of[:, None, :]  # [B, 1, S]
     hi = jnp.arange(H)[None, :, None]
     si = slot_of[:, None, :]
+    if (use_kernel and S == 1 and kvw_enabled()
+            and PS % _kvw_sublanes(cache.k.dtype) == 0):
+        rows = page_of[:, 0]
+        slots = jnp.where(rows == 0, 0, slot_of[:, 0])
+        new_k, new_v = kv_cache_write(
+            cache.k, cache.v, layer_idx, rows, slots,
+            k_t[:, :, 0], v_t[:, :, 0], interpret=kernel_interpret())
+    else:
+        new_k = cache.k.at[layer_idx, pi, hi, si].set(k_t)
+        new_v = cache.v.at[layer_idx, pi, hi, si].set(v_t)
     new = PagedKVCache(
-        cache.k.at[layer_idx, pi, hi, si].set(k_t),
-        cache.v.at[layer_idx, pi, hi, si].set(v_t),
+        new_k, new_v,
         *((
             cache.k_scale.at[layer_idx, pi, hi, si].set(k_sc),
             cache.v_scale.at[layer_idx, pi, hi, si].set(v_sc),

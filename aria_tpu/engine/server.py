@@ -578,7 +578,8 @@ class BatchedEngine:
         kwargs = {}
         if req.pixel_values is not None:
             kwargs = dict(image_feats=self._encode_jit(
-                self.params, jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)
+                self.params, jnp.asarray(req.pixel_values),
+                None if req.pixel_mask is None else jnp.asarray(req.pixel_mask)
             ))
         req_temp = self.temperature if req.temperature is None else req.temperature
         tp, mp, pres, freq, rep = self._req_sampling(req)
@@ -1040,7 +1041,8 @@ class PagedBatchedEngine:
         args = [self.params, jnp.asarray(tokens)]
         if req.pixel_values is not None:
             args.append(self._encode_jit(
-                self.params, jnp.asarray(req.pixel_values), jnp.asarray(req.pixel_mask)))
+                self.params, jnp.asarray(req.pixel_values),
+                None if req.pixel_mask is None else jnp.asarray(req.pixel_mask)))
         return self._embed_jit[key](*args)
 
     def _admit(self) -> bool:

@@ -30,8 +30,28 @@ def init_aria_params(rng: jax.Array, cfg: AriaConfig, dtype=jnp.bfloat16) -> dic
     }
 
 
-def encode_images(params: dict, cfg: AriaConfig, pixel_values: Array, pixel_mask: Array) -> Array:
-    """[N, C, S, S] images -> [N, Q, D_lm] projected image features."""
+def encode_images(
+    params: dict,
+    cfg: AriaConfig,
+    pixel_values: Array,
+    pixel_mask: Optional[Array] = None,
+) -> Array:
+    """[N, C, S, S] images -> [N, Q, D_lm] projected image features.
+
+    ``pixel_values`` may be uint8 (raw resized pixels): normalization then
+    runs ON DEVICE with the exact host sequence ((x/255 - 0.5) / 0.5 in
+    f32, data/vision_processor.py mean/std defaults) — a 980px crop ships
+    2.9MB over the host->device link instead of 11.5MB of f32, which is
+    most of the image-to-first-token wall on a remote-attached TPU.
+    ``pixel_mask=None`` means every pixel is valid (the full-crop common
+    case) and builds the mask on device instead of shipping ~1MB of bools.
+    """
+    if pixel_values.dtype == jnp.uint8:
+        pv = pixel_values.astype(jnp.float32) / 255.0
+        pixel_values = (pv - 0.5) / 0.5
+    if pixel_mask is None:
+        pixel_mask = jnp.ones(
+            (pixel_values.shape[0],) + pixel_values.shape[2:], bool)
     vis = vit_forward(params["vision"], cfg.vision, pixel_values, pixel_mask)
     return projector_forward(params["projector"], cfg.projector, vis.features, vis.kv_ignore_mask)
 

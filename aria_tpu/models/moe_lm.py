@@ -391,7 +391,9 @@ def _attention(
             k_t = k_t.astype(cache_kv.k.dtype)
             v_t = v_t.astype(cache_kv.v.dtype)
         pos_vec = jnp.broadcast_to(jnp.atleast_1d(cache_pos), (B,))
-        new_cache = paged_write(cache_kv, layer_idx, page_table, pos_vec, k_t, v_t, k_sc, v_sc)
+        new_cache = paged_write(cache_kv, layer_idx, page_table, pos_vec,
+                                k_t, v_t, k_sc, v_sc,
+                                use_kernel=use_pallas() and allow_kernels)
         lengths = pos_vec + S
 
         if S == 1 and use_pallas() and allow_kernels and cfg.num_kv_heads == cfg.num_heads:
@@ -466,12 +468,29 @@ def _attention(
             lengths = jnp.full((B,), cache_pos + S, jnp.int32)
         else:
             # per-lane write offsets (continuous batching): cache_pos [B]
+            from aria_tpu.ops.kv_write import (
+                _sublanes, kv_cache_write, kvw_enabled,
+            )
+
             bi = jnp.arange(B)[:, None, None]
             hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
             hv = jnp.arange(k_t.shape[1])[None, :, None]  # H/2 when packed4
             si = (cache_pos[:, None] + jnp.arange(S)[None, :])[:, None, :]
-            new_k = cache_kv.k.at[layer_idx, bi, hv, si].set(k_t)
-            new_v = cache_kv.v.at[layer_idx, bi, hv, si].set(v_t)
+            if (S == 1 and use_pallas() and allow_kernels and kvw_enabled()
+                    and cache_kv.k.shape[3] % _sublanes(cache_kv.k.dtype) == 0):
+                # Pallas block write: the XLA scatter issues one DMA per
+                # (lane, head) row — ~64us at 32 lanes x 20 heads, x2 (K and
+                # V) x28 layers was ~3.6ms of the 25ms 32-lane decode step.
+                # Lane rows are distinct, so the kernel's unique-destination
+                # precondition holds unconditionally here.
+                new_k, new_v = kv_cache_write(
+                    cache_kv.k, cache_kv.v, layer_idx,
+                    jnp.arange(B, dtype=jnp.int32), cache_pos,
+                    k_t[:, :, 0], v_t[:, :, 0],
+                    interpret=kernel_interpret())
+            else:
+                new_k = cache_kv.k.at[layer_idx, bi, hv, si].set(k_t)
+                new_v = cache_kv.v.at[layer_idx, bi, hv, si].set(v_t)
             new_ks = new_vs = None
             if quantized and S == 1:
                 # one-hot select + layer-plane dynamic_update_slice instead of

@@ -19,11 +19,13 @@ Scale planes are NOT handled here: the per-(head, position) scale write
 stays on the one-hot plane-select path (moe_lm.py), which touches only the
 1.3MB scale plane and was already measured cheap.
 
-Intended to replace the engines' scatter-path cache write (row = lane,
-slot = position for the contiguous engine; row = page id, slot = in-page
-offset for the paged one) — not wired in yet; interpret-mode parity is
-covered by tests/test_kernels.py. The reference's equivalent is the
-`KVCache.update` index assign (gptfast/model.py:76-93).
+Wired into both engines' decode steps (S == 1): row = lane,
+slot = position for the contiguous engine (models/moe_lm.py per-lane cache
+branch); row = page id, slot = in-page offset for the paged one
+(engine/paged.py paged_write). Interpret-mode parity is covered by
+tests/test_kernels.py; engine-level greedy bit-identity by
+tests/test_server.py. The reference's equivalent is the `KVCache.update`
+index assign (gptfast/model.py:76-93).
 """
 
 from __future__ import annotations
@@ -38,6 +40,13 @@ import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def kvw_enabled() -> bool:
+    """Kill switch read at trace time: ARIA_TPU_KVW=0 reverts both engines
+    to the XLA scatter write (and gives tests an exact A/B of the write path
+    with every other kernel choice held fixed)."""
+    return os.environ.get("ARIA_TPU_KVW", "1") != "0"
 
 
 def _sublanes(dtype) -> int:
@@ -105,7 +114,10 @@ def kv_cache_write(
     assert S % sb == 0, (S, sb, k_cache.dtype)
 
     if os.environ.get("ARIA_TPU_DEBUG_KVW") == "1":
-        jax.debug.callback(_check_unique_blocks, rows, slots, sb)
+        # sb must be bound statically: debug.callback would convert a
+        # positional int into a traced array, poisoning the dict keys
+        jax.debug.callback(
+            functools.partial(_check_unique_blocks, sb=sb), rows, slots)
 
     cache_spec = pl.BlockSpec(
         (1, 1, Hc, sb, D),

@@ -377,8 +377,13 @@ def main():
     else:
         n_q = cfg.projector.query_count((980 // 14) ** 2)
         prompt = [11] * 8 + [cfg.image_token_id] * n_q + [13] * 8
-        pixels = np.random.RandomState(0).randn(1, 3, 980, 980).astype(np.float32)
-        mask = np.ones((1, 980, 980), bool)
+        # raw uint8 crop (what the processor emits with normalize=False):
+        # normalization runs on device, so the per-request host->device
+        # transfer is 2.9MB instead of 11.5MB f32 + ~1MB mask — most of the
+        # image-to-first-token wall rides the relay link, not the chip
+        pixels = np.random.RandomState(0).randint(0, 256, (1, 3, 980, 980),
+                                                  dtype=np.uint8)
+        mask = None
 
     gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.8, top_k=200,
                            decode_chunk=50)

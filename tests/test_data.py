@@ -84,6 +84,24 @@ class TestVisionProcessor:
         assert out.pixel_values.min() >= -1.0 - 1e-6
         assert out.pixel_values.max() <= 1.0 + 1e-6
 
+    def test_uint8_output_matches_host_normalize(self, rand_image):
+        """normalize=False emits raw uint8; applying the host formula to it
+        must reproduce the normalized f32 output exactly (same pixels, same
+        mask) — this is the 4x-smaller transfer the engines normalize on
+        device (models/aria.py:encode_images)."""
+        proc = AriaVisionProcessor()
+        f32 = proc([rand_image], max_image_size=490)
+        raw = proc([rand_image], max_image_size=490, normalize=False)
+        assert raw.pixel_values.dtype == np.uint8
+        renorm = (raw.pixel_values.astype(np.float32) / 255.0 - 0.5) / 0.5
+        np.testing.assert_allclose(renorm, f32.pixel_values, rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(raw.pixel_mask, f32.pixel_mask)
+
+    def test_uint8_output_rejects_custom_mean(self, rand_image):
+        proc = AriaVisionProcessor(image_mean=(0.4, 0.4, 0.4))
+        with pytest.raises(ValueError):
+            proc([rand_image], normalize=False)
+
 
 class TestProcessor:
     def test_image_token_expansion_980(self, rand_image, tokenizer):

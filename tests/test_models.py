@@ -303,6 +303,25 @@ class TestComposite:
             float(loss.ce_loss) + float(loss.z_loss) + float(loss.aux_loss), rel=1e-5
         )
 
+    def test_encode_images_uint8_matches_f32(self):
+        """uint8 pixels with on-device normalization (the 4x-smaller
+        transfer path) must reproduce the host-normalized f32 features, and
+        pixel_mask=None must equal an all-true mask."""
+        from aria_tpu.models.aria import encode_images
+
+        cfg = TINY
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        S_img = cfg.vision.image_size
+        raw = np.random.RandomState(0).randint(
+            0, 256, (1, 3, S_img, S_img), np.uint8)
+        f32 = ((raw.astype(np.float32) / 255.0) - 0.5) / 0.5
+        mask = np.ones((1, S_img, S_img), bool)
+
+        ref = encode_images(params, cfg, jnp.asarray(f32), jnp.asarray(mask))
+        got = encode_images(params, cfg, jnp.asarray(raw), None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_image_embeddings_change_output(self):
         cfg = TINY
         params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)

@@ -455,3 +455,78 @@ class TestServerSamplingParams:
             fin = {r.uid: r for r in server.run_until_complete()}
             outs.append(fin[u].generated)
         assert outs[0] == outs[1]
+
+
+class TestKVWriteKernelEngines:
+    """Engine-level greedy bit-identity of the Pallas KV-write kernel
+    (ops/kv_write.py, now wired into both engines' decode steps) vs the XLA
+    scatter write, across cache dtypes. ARIA_TPU_KVW=0 flips ONLY the write
+    path — every other kernel choice is held fixed at interpret mode — so
+    any token difference is the kernel's fault."""
+
+    @staticmethod
+    def _run(paged: bool, cache_dtype, kvw: str):
+        import os
+        from contextlib import contextmanager
+
+        from aria_tpu.ops import backend
+
+        from tests.test_mesh_kernels import kernel_cfg
+
+        @contextmanager
+        def env(**kv):
+            old = {k: os.environ.get(k) for k in kv}
+            os.environ.update(kv)
+            backend.kernel_backend.cache_clear()
+            try:
+                yield
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+                backend.kernel_backend.cache_clear()
+
+        cfg = kernel_cfg()
+        params = init_aria_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        prompts = [[5, 17, 3], [9, 9, 200, 41, 7, 2, 2], [100, 2]]
+        with env(ARIA_TPU_KERNELS="interpret", ARIA_TPU_KVW=kvw,
+                 ARIA_TPU_DEBUG_KVW="1"):
+            if paged:
+                from aria_tpu.engine.server import PagedBatchedEngine
+
+                srv = PagedBatchedEngine(
+                    params, cfg, max_lanes=3, max_seq_len=128, page_size=32,
+                    prefill_chunk=32, temperature=0.0, decode_chunk=3,
+                    cache_dtype=cache_dtype)
+            else:
+                srv = BatchedEngine(
+                    params, cfg, max_lanes=3, max_seq_len=128,
+                    temperature=0.0, decode_chunk=3, cache_dtype=cache_dtype)
+            uids = [srv.submit(p, max_new_tokens=7) for p in prompts]
+            fin = {r.uid: r for r in srv.run_until_complete()}
+            return [fin[u].generated for u in uids]
+
+    def _check(self, paged: bool, cache_dtype):
+        ref = self._run(paged, cache_dtype, kvw="0")
+        got = self._run(paged, cache_dtype, kvw="1")
+        assert got == ref, (got, ref)
+
+    def test_batched_f32(self):
+        self._check(paged=False, cache_dtype=jnp.float32)
+
+    def test_batched_bf16(self):
+        self._check(paged=False, cache_dtype=jnp.bfloat16)
+
+    def test_batched_int8(self):
+        self._check(paged=False, cache_dtype=jnp.int8)
+
+    def test_batched_int4(self):
+        self._check(paged=False, cache_dtype="int4")
+
+    def test_paged_f32(self):
+        self._check(paged=True, cache_dtype=jnp.float32)
+
+    def test_paged_int8(self):
+        self._check(paged=True, cache_dtype=jnp.int8)

@@ -177,25 +177,60 @@ def run_variant(args):
     # jit is load-bearing: eager op-by-op execution of the int4 paths
     # materializes whole dequantized weight stacks as intermediates
     # (RESOURCE_EXHAUSTED on chip); compiled, they fuse into the matmuls.
-    # NLL is reduced ON DEVICE so the host transfer is the [logit_win, V]
-    # window (~25MB) + a [S-1] vector instead of the full [S, V] logits —
-    # the axon relay's D2H path is ~12MB/s and fragile in loaded processes.
-    def tf_window(p, t):
-        logits = lm_forward(p, cfg.text, t).logits[0].astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(
-            logp[:-1], t[0, 1:][:, None], axis=-1)[:, 0]
-        return nll, logits[-args.logit_win:]
+    if args.ref:
+        # Quantized children (r04/r05 on-chip failure mode): the int4
+        # quantize churn poisons the process's device->host path — every
+        # later D2H over ~1KB dies with RESOURCE_EXHAUSTED while compute
+        # and HOST->DEVICE transfers keep working. So instead of reading
+        # the [logit_win, V] window back (~25MB), load the bf16 oracle's
+        # saved window, push it TO the device, compute every drift stat
+        # on device, and read back only scalars (4B each survives).
+        ref_npz = np.load(args.ref)
+        ref_win = jnp.asarray(ref_npz["logits_win"])
+        ref_nll_mean = float(ref_npz["nll"].mean())
 
-    nll_d, win_d = jax.jit(tf_window)(params["lm"], jnp.asarray(tf))
-    out["nll"] = np.asarray(nll_d, np.float32)
-    out["logits_win"] = np.asarray(win_d, np.float32)
+        def tf_stats(p, t, rw):
+            logits = lm_forward(p, cfg.text, t).logits[0].astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp[:-1], t[0, 1:][:, None], axis=-1)[:, 0]
+            win = logits[-args.logit_win:]
+            diff = win - rw
+            mse = jnp.mean(diff * diff)
+            rel = jnp.linalg.norm(diff) / jnp.linalg.norm(rw)
+            top1 = jnp.mean(
+                (jnp.argmax(win, -1) == jnp.argmax(rw, -1)).astype(jnp.float32))
+            return nll.mean(), mse, rel, top1
+
+        nll_m, mse, rel, top1 = jax.jit(tf_stats)(
+            params["lm"], jnp.asarray(tf), ref_win)
+        ppl = float(np.exp(float(nll_m)))
+        out["stats"] = np.asarray([
+            float(mse), float(rel), float(top1), ppl,
+            100.0 * (ppl - np.exp(ref_nll_mean)) / np.exp(ref_nll_mean),
+        ], np.float64)
+        del ref_win, nll_m, mse, rel, top1
+    else:
+        # bf16 oracle child: no quantize churn, D2H is healthy — save the
+        # NLL vector + trailing logit window for later children to compare
+        # against. NLL is reduced on device so the transfer is the
+        # [logit_win, V] window (~25MB) + a [S-1] vector, not [S, V].
+        def tf_window(p, t):
+            logits = lm_forward(p, cfg.text, t).logits[0].astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp[:-1], t[0, 1:][:, None], axis=-1)[:, 0]
+            return nll, logits[-args.logit_win:]
+
+        nll_d, win_d = jax.jit(tf_window)(params["lm"], jnp.asarray(tf))
+        out["nll"] = np.asarray(nll_d, np.float32)
+        out["logits_win"] = np.asarray(win_d, np.float32)
+        del nll_d, win_d
     out["tf_tokens"] = tf[0]
     print(f"# [{variant}] teacher-forced forward {time.perf_counter() - t0:.1f}s",
           flush=True)
 
     # ---- greedy decode through the serving engine (real decode kernels)
-    del nll_d, win_d
     prompt = rng.randint(5, V - 10, size=48).tolist()
     gen = GenerationConfig(max_new_tokens=args.new_tokens, temperature=0.0,
                            top_k=None, decode_chunk=50)
@@ -232,12 +267,18 @@ def compare(results: dict, new_tokens: int) -> list:
         n = min(len(g), len(ref_greedy))
         eq = g[:n] == ref_greedy[:n]
         div = int(np.argmin(eq)) if not eq.all() else -1
-        lw = r["logits_win"].astype(np.float64)
-        rw = ref_logits.astype(np.float64)
-        mse = float(np.mean((lw - rw) ** 2))
-        rel = float(np.linalg.norm(lw - rw) / np.linalg.norm(rw))
-        top1 = float((lw.argmax(-1) == rw.argmax(-1)).mean())
-        ppl = float(np.exp(r["nll"].mean()))
+        if "stats" in r:
+            # child computed its drift stats on device vs the saved oracle
+            # window (the D2H-poisoning-safe path; see run_variant)
+            mse, rel, top1, ppl, ppl_delta = (float(x) for x in r["stats"])
+        else:
+            lw = r["logits_win"].astype(np.float64)
+            rw = ref_logits.astype(np.float64)
+            mse = float(np.mean((lw - rw) ** 2))
+            rel = float(np.linalg.norm(lw - rw) / np.linalg.norm(rw))
+            top1 = float((lw.argmax(-1) == rw.argmax(-1)).mean())
+            ppl = float(np.exp(r["nll"].mean()))
+            ppl_delta = 100.0 * (ppl - ppl_ref) / ppl_ref
         line = {
             "variant": variant,
             "greedy_match": round(float(eq.mean()), 4),
@@ -246,7 +287,7 @@ def compare(results: dict, new_tokens: int) -> list:
             "logit_rel_err": round(rel, 6),
             "tf_top1_agree": round(top1, 4),
             "ppl": round(ppl, 4),
-            "ppl_delta_pct": round(100.0 * (ppl - ppl_ref) / ppl_ref, 3),
+            "ppl_delta_pct": round(ppl_delta, 3),
         }
         # KV-dtype drift within the variant (weights fixed, cache quantized)
         for kv in ("kvint8", "kvint4"):
@@ -322,6 +363,7 @@ def main():
                     "drift instead of the LM variants")
     ap.add_argument("--variant", default="", help=argparse.SUPPRESS)
     ap.add_argument("--out", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--ref", default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.tiny and (args.variant or args.vision):
@@ -339,6 +381,7 @@ def main():
     assert "bf16" in variants, "the bf16 oracle is required"
     tmpdir = tempfile.mkdtemp(prefix="quality_drift_")
     results = {}
+    ref_path = ""
     for v in variants:
         out = os.path.join(tmpdir, f"{v}.npz")
         cmd = [sys.executable, "-m", "tools.quality_drift", "--variant", v,
@@ -350,6 +393,10 @@ def main():
             cmd.append("--tiny")
         if args.from_hf:
             cmd += ["--from-hf", args.from_hf]
+        if v != "bf16" and ref_path:
+            # quantized children compare on device against the saved oracle
+            # window and read back only scalars (relay D2H poisoning shield)
+            cmd += ["--ref", ref_path]
         print(f"=== variant {v} ===", flush=True)
         rc = subprocess.run(cmd, timeout=3600).returncode
         if rc != 0:
@@ -358,6 +405,8 @@ def main():
                 raise SystemExit("bf16 oracle failed; cannot compare")
             continue
         results[v] = np.load(out)
+        if v == "bf16":
+            ref_path = out
 
     print("\n=== drift vs bf16 oracle (same weights, real kernel paths) ===")
     for line in compare(results, args.new_tokens):
