@@ -234,3 +234,76 @@ class TestCrossValidationVsHFTokenizers:
             n = rng.randint(1, 40)
             text = "".join(rng.choice(alphabet) for _ in range(n))
             assert my_tok.encode(text) == hf_tok.encode(text).ids, repr(text)
+
+
+class TestCrossValidationLargeVocab:
+    """Scaled-up oracle (VERDICT r04 missing #2): a ~1.5k-piece random vocab
+    built from multi-script substrings gives the Viterbi lattice real
+    ambiguity (many overlapping segmentations per span) — much closer to a
+    production 100k vocab than the word list above. 200 fuzz strings must
+    match HF tokenizers' Rust Unigram byte-exactly."""
+
+    @pytest.fixture(scope="class")
+    def big_pieces(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        extra = "日本語中文한국어éßñ"
+        pieces = [("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+        pieces += [(f"<0x{b:02X}>", -20.0, BYTE) for b in range(256)]
+        seen = {p for p, _, _ in pieces}
+        # single chars first so every string is coverable without fallback
+        for ch in alphabet + extra:
+            for p in (ch, WS + ch):
+                if p not in seen:
+                    seen.add(p)
+                    pieces.append((p, float(-6.0 - 4.0 * rng.rand()), NORMAL))
+        # then ~1400 random multi-char pieces, some with the WS prefix
+        chars = list(alphabet + extra)
+        while len(pieces) < 1700:
+            n = rng.randint(2, 5)
+            p = "".join(rng.choice(chars) for _ in range(n))
+            if rng.rand() < 0.4:
+                p = WS + p
+            if p not in seen:
+                seen.add(p)
+                pieces.append((p, float(-1.0 - 9.0 * rng.rand()), NORMAL))
+        if WS not in seen:
+            pieces.append((WS, -5.0, NORMAL))
+        return pieces
+
+    @pytest.fixture(scope="class")
+    def hf_big(self, big_pieces):
+        tokenizers = pytest.importorskip("tokenizers")
+        from tokenizers import Tokenizer, decoders, normalizers
+        from tokenizers.models import Unigram
+
+        vocab = [(p, s) for p, s, _ in big_pieces]
+        hf = Tokenizer(Unigram(vocab, unk_id=0, byte_fallback=True))
+        hf.normalizer = normalizers.Sequence(
+            [normalizers.Prepend(WS), normalizers.Replace(" ", WS)])
+        return hf
+
+    @pytest.fixture(scope="class")
+    def my_big(self, big_pieces):
+        return SentencePieceTokenizer(big_pieces)
+
+    def test_fuzz_200_strings_byte_exact(self, my_big, hf_big):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        chars = list("abcdefghijklmnopqrstuvwxyz 日本語中文한국어éßñ 🙂€") + [" ", "  "]
+        for i in range(200):
+            n = rng.randint(1, 80)
+            text = "".join(rng.choice(chars) for _ in range(n))
+            mine = my_big.encode(text)
+            ref = hf_big.encode(text).ids
+            assert mine == ref, (i, repr(text),
+                                 [my_big.pieces[j][0] for j in mine],
+                                 [hf_big.id_to_token(j) for j in ref])
+            assert my_big.decode(mine) == text
+
+    def test_proto_roundtrip_large(self, big_pieces):
+        parsed = parse_model_proto(encode_model_proto(big_pieces))
+        assert [p[0] for p in parsed] == [p[0] for p in big_pieces]

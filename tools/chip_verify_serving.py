@@ -56,7 +56,16 @@ def main():
     ap.add_argument("--lanes", type=int, default=8)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: AriaConfig.tiny(), no TPU required")
+    ap.add_argument("--full-int4", action="store_true",
+                    help="VERDICT r04 item 4: run the feature set against the "
+                    "FULL 25.3B/64-expert int4+W4A8 serving stack (text-only: "
+                    "the vision tower is excluded — quantizing it poisons "
+                    "this process's device->host path, and no feature here "
+                    "needs it; the image/video HTTP round-trips are covered "
+                    "by the shard8 run)")
     args = ap.parse_args()
+    if args.lanes < 6:
+        raise SystemExit("--lanes must be >= 6 (six named feature lanes)")
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
 
@@ -71,23 +80,38 @@ def main():
 
     if args.tiny:
         cfg = AriaConfig.tiny()
+    elif args.full_int4:
+        args.experts = 64
+        base = AriaConfig.aria_25b()
+        cfg = AriaConfig(vision=base.vision, projector=base.projector,
+                         text=TextConfig(num_experts=64,
+                                         num_layers=args.layers))
     else:
         base = AriaConfig.aria_25b()
         cfg = AriaConfig(vision=base.vision, projector=base.projector,
                          text=TextConfig(num_experts=args.experts,
                                          num_layers=args.layers))
 
-    phase("init: shard8 int8 params")
+    model_tag = ("tiny" if args.tiny
+                 else "full64_int4" if args.full_int4 else "shard8_int8")
     t0 = time.perf_counter()
-    # float32 in --tiny: the CPU thunk runtime rejects bf16xbf16->f32 dots
-    dtype = jnp.float32 if args.tiny else jnp.bfloat16
-    params = jax.jit(lambda k: init_aria_params(k, cfg, dtype=dtype))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    params = jax.jit(quantize_params, donate_argnums=0)(params)
-    jax.block_until_ready(params)
-    params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
-    jax.block_until_ready(params)
+    if args.full_int4:
+        phase("init: FULL 25.3B int4+W4A8 serving params (streamed)")
+        from bench import build_int4_params
+
+        params = build_int4_params(cfg, with_image=False)
+        jax.block_until_ready(params)
+    else:
+        phase("init: shard8 int8 params")
+        # float32 in --tiny: the CPU thunk runtime rejects bf16xbf16->f32 dots
+        dtype = jnp.float32 if args.tiny else jnp.bfloat16
+        params = jax.jit(lambda k: init_aria_params(k, cfg, dtype=dtype))(
+            jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        params = jax.jit(quantize_params, donate_argnums=0)(params)
+        jax.block_until_ready(params)
+        params = jax.jit(fuse_shared_experts, donate_argnums=0)(params)
+        jax.block_until_ready(params)
     print(f"# init {time.perf_counter() - t0:.1f}s", flush=True)
 
     tok = ByteTokenizer()
@@ -105,13 +129,19 @@ def main():
         lc = LoraConfig(rank=rank, alpha=2.0 * rank)
         lora = init_lora_params(jax.random.PRNGKey(seed), cfg, lc)["lm"]
         rng = np.random.RandomState(seed)
+        # bf16 factors at full-64-expert width: two f32 rank-16 adapters
+        # over [28, 64, 2560, r] stacks would cost ~3GB of the chip's
+        # ~2.5GB post-model headroom
+        fdt = np.float32 if args.tiny else jnp.bfloat16
         lora = jax.tree.map(
-            lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.02),
+            lambda x: jnp.asarray(
+                (rng.randn(*x.shape) * 0.02).astype(np.float32), fdt),
             lora)
         return lora, lc
 
-    lora1, lc1 = adapter(1, 16)
-    lora2, lc2 = adapter(2, 8)
+    r1, r2 = (4, 2) if args.full_int4 else (16, 8)
+    lora1, lc1 = adapter(1, r1)
+    lora2, lc2 = adapter(2, r2)
     reg = AdapterRegistry({"t1": lora1, "t2": lora2},
                           scales={"t1": lc1.scale, "t2": lc2.scale})
 
@@ -137,12 +167,28 @@ def main():
                                     adapter="t2", temperature=0.0)
             uids["base"] = srv.submit(prompt, max_new_tokens=args.new_tokens,
                                       temperature=0.0)
-            for i in range(args.lanes - 4):
+            # r4 per-request sampling features (vLLM/OpenAI parity,
+            # docs/inference.md): first on-chip exercise — they landed after
+            # the last r4 chip session
+            pen_prompt = rng.randint(5, hi, size=48).tolist()
+            uids["pen"] = srv.submit(pen_prompt,
+                                     max_new_tokens=args.new_tokens,
+                                     temperature=0.0,
+                                     repetition_penalty=1e6)
+            uids["_pen_prompt"] = pen_prompt
+            uids["nucleus"] = srv.submit(rng.randint(5, hi, size=48).tolist(),
+                                         max_new_tokens=args.new_tokens,
+                                         temperature=0.9, top_p=0.9,
+                                         min_p=0.02,
+                                         presence_penalty=0.3,
+                                         frequency_penalty=0.2)
+            for i in range(args.lanes - 6):
                 srv.submit(rng.randint(5, hi, size=48).tolist(),
                            max_new_tokens=args.new_tokens)
             return uids
 
         uids = submit_mixed()
+        pen_prompt = uids.pop("_pen_prompt")
         fin = {r.uid: r for r in srv.run_until_complete()}  # compile + check
         errs = [r.error for r in fin.values() if r.error]
         if errs:
@@ -156,7 +202,7 @@ def main():
         import re
         assert re.fullmatch(r"(yes|no|maybe)( (yes|no|maybe)){0,20}", text), (
             f"guided output violates regex: {text!r}")
-        for k in ("guided", "t1", "t2", "base"):
+        for k in ("guided", "t1", "t2", "base", "pen", "nucleus"):
             r = fin[uids[k]]
             assert r.logprobs and len(r.logprobs) == len(r.generated), k
             assert all(np.isfinite(lp) for lp in r.logprobs), k
@@ -165,6 +211,14 @@ def main():
         b_out = fin[uids["base"]].generated
         assert t1_out != b_out and t2_out != b_out, (
             "adapter lanes identical to base: adapters not applied")
+        # repetition_penalty=1e6 at temperature 0: generated tokens never
+        # repeat each other or any prompt token (the random prompt may
+        # contain its own duplicates — that's the model's input, not output)
+        p_out = fin[uids["pen"]].generated
+        assert len(set(p_out)) == len(p_out) and not (
+            set(p_out) & set(pen_prompt)), (
+            f"repetition-penalized lane repeated a token: {p_out}")
+        assert len(fin[uids["nucleus"]].generated) == args.new_tokens
 
         # timed runs
         runs = []
@@ -177,12 +231,14 @@ def main():
             runs.append(total / dt)
             print(f"# run {r}: {total} tok / {dt:.2f}s = {total/dt:.1f} tok/s",
                   flush=True)
-        record("batched_mixed_guided_lora_logprobs", True,
-               tok_s=round(float(np.mean(runs)), 1), lanes=args.lanes,
-               guided_text=text[:60], fsm_build_s=round(fsm_s, 2))
+        record("batched_mixed_guided_lora_logprobs_penalties", True,
+               model=model_tag, tok_s=round(float(np.mean(runs)), 1),
+               lanes=args.lanes, guided_text=text[:60],
+               fsm_build_s=round(fsm_s, 2))
     except Exception as e:
         traceback.print_exc()
-        record("batched_mixed_guided_lora_logprobs", False, error=repr(e)[:300])
+        record("batched_mixed_guided_lora_logprobs_penalties", False,
+               model=model_tag, error=repr(e)[:300])
 
     # ------------------------------------------------ HTTP multimodal
     phase("HTTP OpenAI API: text / image / video round-trips")
@@ -216,9 +272,11 @@ def main():
         assert out["choices"][0]["message"]["content"] is not None
         record("http_chat_text", True, latency_s=round(dt, 2))
 
-        if args.tiny:
-            record("http_chat_image_980vit", True, skipped_tiny=True)
-            record("http_chat_video_4frames", True, skipped_tiny=True)
+        if args.tiny or args.full_int4:
+            # full-int4 runs text-only (vision quantize poisons this
+            # process's D2H path; image/video covered by the shard8 run)
+            record("http_chat_image_980vit", True, skipped=True)
+            record("http_chat_video_4frames", True, skipped=True)
             httpd.shutdown()
             loop.shutdown()
             raise _TinySkip
@@ -300,7 +358,11 @@ def main():
             uids["t1"] = psrv.submit(rng.randint(5, lo_hi, size=48).tolist(),
                                      max_new_tokens=args.new_tokens,
                                      adapter="t1", temperature=0.0)
-            for i in range(args.lanes - 3):
+            uids["pen"] = psrv.submit(rng.randint(5, hi, size=48).tolist(),
+                                      max_new_tokens=args.new_tokens,
+                                      temperature=0.9, top_p=0.9,
+                                      repetition_penalty=1.3)
+            for i in range(args.lanes - 4):
                 psrv.submit(rng.randint(5, hi, size=48).tolist(),
                             max_new_tokens=args.new_tokens)
             return uids
@@ -327,12 +389,13 @@ def main():
             runs.append(total / dt)
             print(f"# run {r}: {total} tok / {dt:.2f}s = {total/dt:.1f} tok/s",
                   flush=True)
-        record("paged_mixed_prefix_cache", True,
+        record("paged_mixed_prefix_cache", True, model=model_tag,
                tok_s=round(float(np.mean(runs)), 1), lanes=args.lanes,
                cached_tokens=int(f2.cached_tokens))
     except Exception as e:
         traceback.print_exc()
-        record("paged_mixed_prefix_cache", False, error=repr(e)[:300])
+        record("paged_mixed_prefix_cache", False, model=model_tag,
+               error=repr(e)[:300])
 
     phase("summary")
     for line in RESULTS:

@@ -158,12 +158,35 @@ def run_variant(args):
     variant = args.variant
     if variant == "int4_a16":
         os.environ["ARIA_TPU_A8"] = "0"
+    base = "int4" if variant == "int4_a16" else variant
+    if base == "int4" and not args.tiny:
+        # register the CPU backend beside axon BEFORE the first device op
+        # (the env pins JAX_PLATFORMS=axon; first-listed stays the default)
+        jax.config.update("jax_platforms", "axon,cpu")
     cfg = build_cfg(args)
     V = cfg.text.vocab_size
 
     t0 = time.perf_counter()
-    params = derive("int4" if variant == "int4_a16" else variant,
-                    _init_bf16(cfg, args), cfg)
+    if base == "int4" and not args.tiny:
+        # The int4 path CANNOT quantize on the TPU in this process: with the
+        # whole bf16 tree live, the chunked quantize leaves the axon relay's
+        # device->host path dead (r04/r05 on chip: EVERY later transfer,
+        # even a 4-byte scalar, dies with RESOURCE_EXHAUSTED while compute
+        # succeeds — the --ref scalar-readback shield was not enough). So
+        # quantize on the host CPU backend — max/abs/div/round/clip are
+        # correctly-rounded IEEE f32 ops on both backends, so the packed
+        # weights are bit-identical to a device-side quantize — and ship
+        # the quantized tree host->device (the healthy direction).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = derive(base, _init_bf16(cfg, args), cfg)
+            jax.block_until_ready(params)
+        print(f"# [{variant}] CPU quantize done in "
+              f"{time.perf_counter() - t0:.1f}s; transferring", flush=True)
+        params = jax.device_put(params, jax.devices()[0])
+        jax.block_until_ready(params)
+    else:
+        params = derive(base, _init_bf16(cfg, args), cfg)
     print(f"# [{variant}] params ready in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
@@ -364,6 +387,10 @@ def main():
     ap.add_argument("--variant", default="", help=argparse.SUPPRESS)
     ap.add_argument("--out", default="", help=argparse.SUPPRESS)
     ap.add_argument("--ref", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--results-dir", default="",
+                    help="reuse/populate <dir>/<variant>.npz: variants with "
+                    "an existing npz skip their child run (the bf16 oracle "
+                    "alone is ~15 min of chip time)")
     args = ap.parse_args()
 
     if args.tiny and (args.variant or args.vision):
@@ -379,11 +406,21 @@ def main():
 
     variants = [v.strip() for v in (args.variants or ",".join(VARIANTS)).split(",")]
     assert "bf16" in variants, "the bf16 oracle is required"
-    tmpdir = tempfile.mkdtemp(prefix="quality_drift_")
+    if args.results_dir:
+        tmpdir = args.results_dir
+        os.makedirs(tmpdir, exist_ok=True)
+    else:
+        tmpdir = tempfile.mkdtemp(prefix="quality_drift_")
     results = {}
     ref_path = ""
     for v in variants:
         out = os.path.join(tmpdir, f"{v}.npz")
+        if args.results_dir and os.path.exists(out):
+            print(f"=== variant {v} (cached {out}) ===", flush=True)
+            results[v] = np.load(out)
+            if v == "bf16":
+                ref_path = out
+            continue
         cmd = [sys.executable, "-m", "tools.quality_drift", "--variant", v,
                "--out", out, "--layers", str(args.layers),
                "--experts", str(args.experts),
