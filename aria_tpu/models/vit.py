@@ -152,11 +152,22 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
         k = lin(normed, layer["wk"], layer["bk"], "npd,de->npe").reshape(N, P, H, Dh)
         v = lin(normed, layer["wv"], layer["bv"], "npd,de->npe").reshape(N, P, H, Dh)
         if flash:
-            # NaViT padding via segment ids (pad tokens = segment 0 attend
-            # only each other; their outputs are ignored downstream).
-            from aria_tpu.ops.flash import flash_sdpa
+            from aria_tpu.ops.backend import kernel_interpret
+            from aria_tpu.ops.vit_flash import vit_flash, vit_flash_enabled
 
-            att = flash_sdpa(q, k, v, q_valid=pmask, kv_valid=pmask).reshape(N, P, D)
+            if vit_flash_enabled():
+                # head-dim-on-sublanes kernel (ops/vit_flash.py): D=72 pads
+                # to 80 sublane rows instead of 128 lanes
+                att = vit_flash(
+                    q, k, v, kv_valid=pmask, interpret=kernel_interpret()
+                ).reshape(N, P, D)
+            else:
+                # NaViT padding via segment ids (pad tokens = segment 0
+                # attend only each other; outputs ignored downstream).
+                from aria_tpu.ops.flash import flash_sdpa
+
+                att = flash_sdpa(q, k, v, q_valid=pmask,
+                                 kv_valid=pmask).reshape(N, P, D)
         else:
             att = sdpa(q, k, v, attn_mask).reshape(N, P, D)
         att = lin(att, layer["wo"], layer["bo"], "npd,de->npe")

@@ -414,12 +414,20 @@ def main():
         name = f"decode_tok_s_1chip_full64_int4{suffix.replace('_int8', '')}"
     if args.fallback:
         name += "_fallback"
-    print(json.dumps({
+    line = {
         "metric": name,
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
-    }))
+        # driver-visible secondary metrics (VERDICT r04 item 5): TTFT for
+        # image runs, prefill wall for long-context runs
+        "extra": (
+            {"ctx_prefill_s": round(ttft, 2)} if args.ctx
+            else {} if args.no_image
+            else {"image_to_first_token_ms": round(ttft * 1e3)}
+        ),
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

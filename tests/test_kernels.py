@@ -450,3 +450,72 @@ class TestKVCacheWrite:
         # distinct blocks / identical duplicates are fine
         _check_unique_blocks(np.array([0, 0]), np.array([3, 3]), sb=16)
         _check_unique_blocks(np.array([0, 1]), np.array([3, 7]), sb=16)
+
+
+class TestViTFlashKernel:
+    """Interpret-mode parity for ops/vit_flash.py (the head-dim-on-sublanes
+    non-causal kernel) vs the masked XLA sdpa reference, including ragged
+    padding masks, head_dim 72 (the SigLIP shape), and multi-crop batches."""
+
+    def _ref(self, q, k, v, kv_valid):
+        from aria_tpu.ops.attention import sdpa
+
+        mask = kv_valid[:, None, None, :]
+        return sdpa(q, k, v, mask)
+
+    def _run(self, B, S, H, D, bq, bk, valid_lens=None):
+        from aria_tpu.ops.vit_flash import vit_flash
+
+        rng = np.random.RandomState(0)
+        q, k, v = (jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+                   for _ in range(3))
+        if valid_lens is None:
+            kv_valid = None
+            valid = np.ones((B, S), bool)
+        else:
+            valid = np.zeros((B, S), bool)
+            for b, n in enumerate(valid_lens):
+                valid[b, :n] = True
+            kv_valid = jnp.asarray(valid)
+        got = np.asarray(vit_flash(q, k, v, kv_valid, bq=bq, bk=bk,
+                                   interpret=True))
+        ref = np.asarray(self._ref(q, k, v, jnp.asarray(valid)))
+        # compare VALID query rows only (padding rows are garbage by contract)
+        for b in range(B):
+            n = int(valid[b].sum())
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_full_mask_headdim72(self):
+        self._run(B=1, S=512, H=2, D=72, bq=256, bk=256)
+
+    def test_ragged_padding(self):
+        self._run(B=2, S=300, H=2, D=72, bq=128, bk=128,
+                  valid_lens=[300, 137])
+
+    def test_seq_not_block_multiple(self):
+        # S=300 pads to 384: padded keys masked, padded queries garbage
+        self._run(B=1, S=300, H=1, D=64, bq=128, bk=128, valid_lens=[300])
+
+    def test_uneven_blocks(self):
+        self._run(B=1, S=512, H=2, D=72, bq=128, bk=256)
+
+    def test_matches_flash_sdpa_path(self):
+        """Same numbers as the stock flash path the ViT used before (which
+        falls back to masked sdpa off-TPU), over the NaViT mask."""
+        from aria_tpu.ops.flash import flash_sdpa
+        from aria_tpu.ops.vit_flash import vit_flash
+
+        rng = np.random.RandomState(1)
+        B, S, H, D = 2, 256, 2, 72
+        q, k, v = (jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+                   for _ in range(3))
+        valid = np.zeros((B, S), bool)
+        valid[0, :256] = True
+        valid[1, :101] = True
+        pm = jnp.asarray(valid)
+        ref = np.asarray(flash_sdpa(q, k, v, q_valid=pm, kv_valid=pm))
+        got = np.asarray(vit_flash(q, k, v, pm, bq=128, bk=128, interpret=True))
+        for b, n in enumerate([256, 101]):
+            np.testing.assert_allclose(got[b, :n], ref[b, :n],
+                                       rtol=2e-5, atol=2e-5)
