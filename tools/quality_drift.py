@@ -223,16 +223,23 @@ def run_variant(args):
             rel = jnp.linalg.norm(diff) / jnp.linalg.norm(rw)
             top1 = jnp.mean(
                 (jnp.argmax(win, -1) == jnp.argmax(rw, -1)).astype(jnp.float32))
-            return nll.mean(), mse, rel, top1
+            # KL(oracle || variant) per position, in nats: margin-robust —
+            # top1/greedy saturate on random weights (tiny argmax margins)
+            # while KL measures actual distribution distortion
+            ref_lp = jax.nn.log_softmax(rw, axis=-1)
+            var_lp = jax.nn.log_softmax(win, axis=-1)
+            kl = jnp.mean(jnp.sum(jnp.exp(ref_lp) * (ref_lp - var_lp), axis=-1))
+            return nll.mean(), mse, rel, top1, kl
 
-        nll_m, mse, rel, top1 = jax.jit(tf_stats)(
+        nll_m, mse, rel, top1, kl = jax.jit(tf_stats)(
             params["lm"], jnp.asarray(tf), ref_win)
         ppl = float(np.exp(float(nll_m)))
         out["stats"] = np.asarray([
             float(mse), float(rel), float(top1), ppl,
             100.0 * (ppl - np.exp(ref_nll_mean)) / np.exp(ref_nll_mean),
+            float(kl),
         ], np.float64)
-        del ref_win, nll_m, mse, rel, top1
+        del ref_win, nll_m, mse, rel, top1, kl
     else:
         # bf16 oracle child: no quantize churn, D2H is healthy — save the
         # NLL vector + trailing logit window for later children to compare
@@ -293,7 +300,9 @@ def compare(results: dict, new_tokens: int) -> list:
         if "stats" in r:
             # child computed its drift stats on device vs the saved oracle
             # window (the D2H-poisoning-safe path; see run_variant)
-            mse, rel, top1, ppl, ppl_delta = (float(x) for x in r["stats"])
+            vals = [float(x) for x in r["stats"]]
+            mse, rel, top1, ppl, ppl_delta = vals[:5]
+            kl = vals[5] if len(vals) > 5 else None
         else:
             lw = r["logits_win"].astype(np.float64)
             rw = ref_logits.astype(np.float64)
@@ -302,6 +311,9 @@ def compare(results: dict, new_tokens: int) -> list:
             top1 = float((lw.argmax(-1) == rw.argmax(-1)).mean())
             ppl = float(np.exp(r["nll"].mean()))
             ppl_delta = 100.0 * (ppl - ppl_ref) / ppl_ref
+            ref_lp = rw - np.log(np.exp(rw - rw.max(-1, keepdims=True)).sum(-1, keepdims=True)) - rw.max(-1, keepdims=True)
+            var_lp = lw - np.log(np.exp(lw - lw.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lw.max(-1, keepdims=True)
+            kl = float(np.mean((np.exp(ref_lp) * (ref_lp - var_lp)).sum(-1)))
         line = {
             "variant": variant,
             "greedy_match": round(float(eq.mean()), 4),
@@ -312,6 +324,8 @@ def compare(results: dict, new_tokens: int) -> list:
             "ppl": round(ppl, 4),
             "ppl_delta_pct": round(ppl_delta, 3),
         }
+        if kl is not None:
+            line["tf_kl_nats"] = round(kl, 5)
         # KV-dtype drift within the variant (weights fixed, cache quantized)
         for kv in ("kvint8", "kvint4"):
             key = f"greedy_{kv}"
