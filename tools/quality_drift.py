@@ -449,7 +449,10 @@ def main():
             # window and read back only scalars (relay D2H poisoning shield)
             cmd += ["--ref", ref_path]
         print(f"=== variant {v} ===", flush=True)
-        rc = subprocess.run(cmd, timeout=3600).returncode
+        # 2h: the int4 children spend ~25 min in the host CPU quantize alone
+        # (plus a fresh remote kernel compile); killing a TPU claimant on a
+        # tight timeout wedges the relay for ~20 min on top
+        rc = subprocess.run(cmd, timeout=7200).returncode
         if rc != 0:
             print(json.dumps({"variant": v, "ok": False, "rc": rc}))
             if v == "bf16":
