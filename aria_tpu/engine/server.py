@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional, Sequence
@@ -462,8 +463,12 @@ class BatchedEngine:
             # Cap the burst: a 128-row x 64-token prefill's segmented-MoE f32
             # temps alone are ~1.4GB (observed OOM at 96 lanes); 32 rows
             # bounds them at ~350MB while keeping the O(1)-expert-stream
-            # amortization for the common burst sizes.
-            while self.queue and len(group) < min(len(free), 32):
+            # amortization for the common burst sizes. ARIA_TPU_GROUP_ROWS
+            # lowers it further for memory-tight deployments: the full-model
+            # int4 form with resident multi-LoRA stacks OOM'd the grouped
+            # prefill COMPILE at 8 rows x bucket 64 (19GB vs 15.75GB HBM).
+            cap = int(os.environ.get("ARIA_TPU_GROUP_ROWS", "32"))
+            while self.queue and len(group) < min(len(free), cap):
                 req = self.queue[0]
                 if req.pixel_values is not None:
                     break

@@ -22,6 +22,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import threading
 import time
 import traceback
@@ -66,6 +67,12 @@ def main():
     args = ap.parse_args()
     if args.lanes < 6:
         raise SystemExit("--lanes must be >= 6 (six named feature lanes)")
+    if args.full_int4:
+        # the 12.9GB resident model + multi-LoRA stacks can't afford an
+        # 8-row x bucket-64 grouped-prefill working set (19GB compile-time
+        # peak vs 15.75GB HBM); 2-row groups keep admission batched while
+        # bounding the prefill temps
+        os.environ.setdefault("ARIA_TPU_GROUP_ROWS", "2")
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
 

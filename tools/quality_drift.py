@@ -281,6 +281,78 @@ def run_variant(args):
     print(f"# [{variant}] wrote {args.out}", flush=True)
 
 
+def run_kv(args):
+    """KV-cache drift, isolated from weight quantization: the SAME bf16
+    weights decode a fixed token sequence stepwise through the stacked
+    cache (the real decode-attention kernels and per-step quantize path)
+    at each cache dtype; per-step next-token logits are compared against
+    the bf16-cache run with margin-robust stats (rel err, top-1, KL).
+
+    This closes the gap the greedy-match columns leave: on random weights
+    greedy matches collapse on hair-thin argmax margins, while these
+    distribution-level stats measure what the cache quantization actually
+    does. All stats reduce on device (scalar readbacks only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aria_tpu.models.moe_lm import KVCache, lm_forward
+
+    cfg = build_cfg(args)
+    V = cfg.text.vocab_size
+    S = args.kv_steps
+    Smax = max(512, -(-S // 256) * 256)
+    params = _init_bf16(cfg, args)
+    toks = jnp.asarray(
+        np.random.RandomState(123).randint(5, V - 10, size=S), jnp.int32)
+
+    def stepwise(p, toks, cache):
+        kv_pos = jnp.arange(Smax)
+
+        def step(cache, tp):
+            tok, pos = tp
+            mask = (kv_pos <= pos)[None, None, None, :]
+            out = lm_forward(p, cfg.text, tok[None, None],
+                             positions=pos[None], mask=mask,
+                             cache=cache, cache_pos=pos)
+            return out.cache, out.logits[0, -1].astype(jnp.float32)
+
+        _, logits = jax.lax.scan(step, cache, (toks, jnp.arange(S)))
+        return logits  # [S, V]
+
+    run = jax.jit(stepwise, donate_argnums=(2,))
+
+    def stats(ref, got):  # [W, V] each, on device
+        w = args.logit_win
+        ref, got = ref[-w:], got[-w:]
+        rel = jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)
+        top1 = jnp.mean((got.argmax(-1) == ref.argmax(-1)).astype(jnp.float32))
+        rlp = jax.nn.log_softmax(ref, -1)
+        glp = jax.nn.log_softmax(got, -1)
+        kl = jnp.mean(jnp.sum(jnp.exp(rlp) * (rlp - glp), axis=-1))
+        return rel, top1, kl
+
+    jstats = jax.jit(stats)
+    t0 = time.perf_counter()
+    ref = run(params["lm"], toks,
+              KVCache.init(cfg.text, 1, Smax, jnp.bfloat16))
+    jax.block_until_ready(ref)
+    print(f"# kv/bf16 stepwise decode {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    for name, dt in (("kv_int8", jnp.int8), ("kv_int4", "int4")):
+        t0 = time.perf_counter()
+        got = run(params["lm"], toks, KVCache.init(cfg.text, 1, Smax, dt))
+        rel, top1, kl = jstats(ref, got)
+        print("RESULT " + json.dumps({
+            "variant": name, "weights": "bf16",
+            "steps": S, "win": args.logit_win,
+            "logit_rel_err": round(float(rel), 6),
+            "top1_agree": round(float(top1), 4),
+            "kl_nats": round(float(kl), 6),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+        del got
+
+
 def compare(results: dict, new_tokens: int) -> list:
     """results: variant -> npz. Returns RESULT dict lines."""
     lines = []
@@ -398,6 +470,10 @@ def main():
     ap.add_argument("--vision", action="store_true",
                     help="measure the vision tower's bf16->int8 feature "
                     "drift instead of the LM variants")
+    ap.add_argument("--kv", action="store_true",
+                    help="measure KV-cache drift in isolation: bf16 weights, "
+                    "teacher-forced stepwise decode per cache dtype")
+    ap.add_argument("--kv-steps", type=int, default=192)
     ap.add_argument("--variant", default="", help=argparse.SUPPRESS)
     ap.add_argument("--out", default="", help=argparse.SUPPRESS)
     ap.add_argument("--ref", default="", help=argparse.SUPPRESS)
@@ -407,12 +483,15 @@ def main():
                     "alone is ~15 min of chip time)")
     args = ap.parse_args()
 
-    if args.tiny and (args.variant or args.vision):
+    if args.tiny and (args.variant or args.vision or args.kv):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     if args.vision:
         run_vision(args)
+        return
+    if args.kv:
+        run_kv(args)
         return
     if args.variant:  # child mode
         run_variant(args)
