@@ -158,8 +158,13 @@ def vit_forward(params: dict, cfg: VisionConfig, pixel_values: Array, pixel_mask
             if vit_flash_enabled():
                 # head-dim-on-sublanes kernel (ops/vit_flash.py): D=72 pads
                 # to 80 sublane rows instead of 128 lanes
+                import os
+
                 att = vit_flash(
-                    q, k, v, kv_valid=pmask, interpret=kernel_interpret()
+                    q, k, v, kv_valid=pmask,
+                    bq=int(os.environ.get("ARIA_TPU_VIT_BQ", 512)),
+                    bk=int(os.environ.get("ARIA_TPU_VIT_BK", 512)),
+                    interpret=kernel_interpret(),
                 ).reshape(N, P, D)
             else:
                 # NaViT padding via segment ids (pad tokens = segment 0

@@ -63,8 +63,13 @@ def main():
 
     results = []
     for bq, bk in CONFIGS:
+        # both kernels' knobs: ops/flash.py reads FLASH_*, ops/vit_flash.py
+        # (via models/vit.py) reads VIT_* — the sweep covers whichever the
+        # ARIA_TPU_VIT_FLASH switch selects
         os.environ["ARIA_TPU_FLASH_BQ"] = str(bq)
         os.environ["ARIA_TPU_FLASH_BK"] = str(bk)
+        os.environ["ARIA_TPU_VIT_BQ"] = str(bq)
+        os.environ["ARIA_TPU_VIT_BK"] = str(bk)
         enc = jax.jit(lambda p, pv, pm, _cfg=cfg: encode_images(p, _cfg, pv, pm))
         try:
             feats = jax.block_until_ready(enc(params, pixels, mask))  # compile
