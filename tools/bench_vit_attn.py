@@ -22,15 +22,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, args, iters, perturb):
-    out = jax.block_until_ready(fn(*args))  # compile
-    times = []
-    for _ in range(iters):
-        args = perturb(args, out)
+def timed(fn, args, iters):
+    """Relay-proof timing: chain `iters` calls in ONE jitted fori_loop with
+    a data dependency between steps (each step's q is perturbed by the
+    previous output), so no per-call result can be served from the relay's
+    execution cache, then divide the wall by `iters`. Per-call host timing
+    through the relay reports fantasy numbers for sub-ms kernels."""
+    q, k, v, m = args
+
+    def chained(q, k, v, m):
+        def body(_, carry):
+            q, acc = carry
+            out = fn(q, k, v, m)
+            d = (jnp.float32(1e-3) * out.astype(jnp.float32).mean()).astype(q.dtype)
+            return q + d, acc + out.astype(jnp.float32).mean()
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0.0)))
+        return acc
+
+    run = jax.jit(chained)
+    jax.block_until_ready(run(q, k, v, m))  # compile
+    walls = []
+    for _ in range(3):
+        q = q + jnp.asarray(1e-4, q.dtype)  # new inputs per repetition
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(sorted(times)[: max(1, iters // 2)])) * 1e3
+        jax.block_until_ready(run(q, k, v, m))
+        walls.append(time.perf_counter() - t0)
+    return min(walls) / iters * 1e3
 
 
 def main():
@@ -53,23 +71,18 @@ def main():
     nv = args.valid or P
     pm = jnp.asarray(np.arange(P)[None, :] < nv).repeat(N, axis=0)
 
-    def perturb(a, out):
-        d = jnp.bfloat16(1e-3) * out.astype(jnp.bfloat16).mean()
-        return (a[0] + d, a[1] + d, a[2] + d) + a[3:]
-
     flops = 2 * 2 * N * H * nv * nv * D / 1e12  # TFLOP (unpadded)
 
-    stock = jax.jit(lambda q, k, v, m: flash_sdpa(q, k, v, q_valid=m, kv_valid=m))
-    ms = timed(stock, (q, k, v, pm), args.iters, perturb)
+    stock = lambda q, k, v, m: flash_sdpa(q, k, v, q_valid=m, kv_valid=m)
+    ms = timed(stock, (q, k, v, pm), args.iters)
     print(f"RESULT stock_flash     {ms:7.2f} ms  ({flops / (ms / 1e3):.1f} TFLOP/s unpadded)",
           flush=True)
 
     for bq, bk in [(512, 512), (512, 1024), (1024, 512), (256, 512),
                    (512, 256), (1024, 1024), (2048, 512)]:
-        f = jax.jit(lambda q, k, v, m, bq=bq, bk=bk: vit_flash(
-            q, k, v, m, bq=bq, bk=bk))
+        f = lambda q, k, v, m, bq=bq, bk=bk: vit_flash(q, k, v, m, bq=bq, bk=bk)
         try:
-            ms = timed(f, (q, k, v, pm), args.iters, perturb)
+            ms = timed(f, (q, k, v, pm), args.iters)
             print(f"RESULT vitk bq={bq:4d} bk={bk:4d} {ms:7.2f} ms  "
                   f"({flops / (ms / 1e3):.1f} TFLOP/s unpadded)", flush=True)
         except Exception as e:  # noqa: BLE001
