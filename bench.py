@@ -180,26 +180,68 @@ def _probe_headroom(gb: float) -> None:
     del probe
 
 
+def _run_child(extra_args, env, timeout):
+    """Run bench.py in a child process; return (rc, parsed-JSON-line-or-None).
+    Output is captured and re-echoed with the child's own JSON line turned
+    into a comment, so the parent's merged line stays the LAST JSON on
+    stdout (the driver parses the last JSON line)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, *extra_args], env=env, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        rc, out = proc.returncode, proc.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        rc = -9
+        out = e.output.decode() if isinstance(e.output, bytes) else (e.output or "")
+    parsed = None
+    for line in out.splitlines():
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                parsed = json.loads(line)
+                print(f"# child metric: {line}", flush=True)
+                continue
+            except json.JSONDecodeError:
+                pass
+        print(line, flush=True)
+    return rc, parsed
+
+
 def _run_with_fallback() -> None:
     """Driver-default entry: run the full-25.3B int4 workload in a child
     process; if it dies (OOM / crash / hang), re-run the EP-8-shard int8
-    workload in a FRESH process (clean HBM) with an honest metric name."""
+    workload in a FRESH process (clean HBM) with an honest metric name.
+
+    On success, a second child measures the 32-lane continuous-batching
+    aggregate on the same full int4 form (int4 KV, text lanes) and its
+    number is folded into the final JSON line's "extra" — so the driver
+    records single-stream, TTFT, AND aggregate every round (VERDICT r04
+    item 5). The lanes child is best-effort: any failure keeps the primary
+    metric intact."""
     env = dict(os.environ, ARIA_TPU_BENCH_CHILD="1")
-    try:
-        rc = subprocess.run([sys.executable, __file__], env=env, timeout=1200).returncode
-    except subprocess.TimeoutExpired:
-        rc = -9
-    if rc == 0:
-        return
-    print(f"# full-model int4 attempt failed (rc={rc}); "
-          "falling back to the EP-8 shard int8 workload in a fresh process", flush=True)
-    try:
-        rc2 = subprocess.run(
-            [sys.executable, __file__, "--shard8", "--fallback"], env=env, timeout=1200
-        ).returncode
-    except subprocess.TimeoutExpired:
-        rc2 = -9
-    sys.exit(rc2)
+    rc, line = _run_child([], env, timeout=1200)
+    if rc != 0 or line is None:
+        print(f"# full-model int4 attempt failed (rc={rc}); "
+              "falling back to the EP-8 shard int8 workload in a fresh process", flush=True)
+        rc2, line = _run_child(["--shard8", "--fallback"], env, timeout=1200)
+        if rc2 != 0 or line is None:
+            sys.exit(rc2 or 1)
+        print(json.dumps(line))
+        sys.exit(0)
+
+    if os.environ.get("ARIA_TPU_BENCH_LANES", "32") != "0":
+        lanes = os.environ.get("ARIA_TPU_BENCH_LANES", "32")
+        rc_l, agg = _run_child(
+            ["--int4", "--lanes", lanes, "--no-image", "--max-seq", "320",
+             "--kv-int4", "--runs", "3"],
+            env, timeout=900,
+        )
+        if rc_l == 0 and agg is not None:
+            line.setdefault("extra", {})[f"agg_{lanes}lane_tok_s"] = agg["value"]
+            line["extra"][f"agg_{lanes}lane_vs_baseline"] = agg["vs_baseline"]
+        else:
+            print(f"# lanes child failed (rc={rc_l}); primary metric unaffected", flush=True)
+    print(json.dumps(line))
 
 
 def build_int4_params(cfg, with_image: bool):
