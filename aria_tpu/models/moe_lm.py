@@ -330,8 +330,14 @@ def _attention(
                 # bf16 activations keep the attention path noise-free
                 a8 = (h2d.shape[0] <= 32
                       and os.environ.get("ARIA_TPU_DENSE_A8", "0") == "1")
+                # Long prefills downcast in-kernel: the callers cast the f32
+                # product to the residual dtype immediately anyway, and a
+                # [32K, 3*D] f32 temp + its convert copy is ~1GB of HBM (the
+                # margin a full-model 32K one-shot prefill doesn't have).
+                od = h2d.dtype if h2d.shape[0] >= 8192 else jnp.float32
                 if allow_kernels:
                     return dense_int4(h2d, w, layer_idx, tn=tn, act_int8=a8,
+                                      out_dtype=od,
                                       interpret=kernel_interpret())
                 # Serving mesh: the int4 projections are replicated
                 # (mesh.serving_param_specs), so every device runs the
@@ -735,7 +741,17 @@ def _moe_ffn(
     # capacity path materializes [E, T, 2I] — 4GB+ at a 64K prefill), so very
     # long prompts run the identical per-token MoE in bounded slices via a
     # sequential lax.map. Exact: routing is per-token; eval-mode losses are 0.
-    MOE_CHUNK = 8192
+    # At a 32K one-shot prefill beside the FULL int4 model (14.3GB of
+    # arguments) the 8192-token chunk's two f32 slot buffers (~1.36GB) blew
+    # HBM by 751MB, so ≥32K prompts use 2048-token slices (~340MB of temps);
+    # the extra expert-stack restreams cost ~0.2s of a 14s+ prefill.
+    # ARIA_TPU_MOE_CHUNK overrides (tests force tiny chunks to pin the
+    # chunked path's exactness against the unchunked one).
+    import os as _os
+
+    MOE_CHUNK = int(_os.environ.get("ARIA_TPU_MOE_CHUNK", "0")) or (
+        8192 if T < 32768 else 2048
+    )
     if T > MOE_CHUNK and T % MOE_CHUNK == 0 and not training:
         if lora_onehot is None:
             def run_chunk(xc):  # [MOE_CHUNK, D]

@@ -91,7 +91,7 @@ def _kernel(ng, gs, l_ref, x_ref, w_ref, sg_ref, out_ref):
         )
         d = d * sg_ref[0][g : g + 1, :]  # [tm, tn] * [1, tn]
         acc = d if acc is None else acc + d
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _kernel_a8(ng, gs, l_ref, xq_ref, sx_ref, w_ref, sg_ref, out_ref):
@@ -115,10 +115,12 @@ def _kernel_a8(ng, gs, l_ref, xq_ref, sx_ref, w_ref, sg_ref, out_ref):
         G = dot(xa, pg) - dot(xa, hg) - bias + (dot(xb, hg) >> 4)
         d = G.astype(jnp.float32) * sx_ref[:][:, g : g + 1] * sg_ref[0][g : g + 1, :]
         acc = d if acc is None else acc + d
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "interpret", "act_int8"))
+@functools.partial(
+    jax.jit, static_argnames=("tn", "interpret", "act_int8", "out_dtype")
+)
 def dense_int4(
     x: Array,  # [T, D]
     w: dict,  # {"q4t": [L, F, D/2], "sg": [L, 8, F]}
@@ -127,8 +129,14 @@ def dense_int4(
     tn: int = 256,
     interpret: bool = False,
     act_int8: bool = False,
+    out_dtype=jnp.float32,
 ) -> Array:
-    """x @ W[layer] over the packed stack. Returns [T, F] f32."""
+    """x @ W[layer] over the packed stack. Returns [T, F] in ``out_dtype``.
+
+    Accumulation is always f32 in-kernel; ``out_dtype=bf16`` just moves the
+    callers' post-matmul downcast inside the kernel write, so a 32K-token
+    prefill's qkv buffer is 480MB instead of 960MB + a convert copy (the
+    one-shot long-context prefill was 189MB over HBM from exactly this)."""
     T, D = x.shape
     q4t, sg = w["q4t"], w["sg"]
     L, F, Dp = q4t.shape
@@ -176,7 +184,7 @@ def dense_int4(
             out_specs=pl.BlockSpec((tm_blk, tn), lambda r, n, l: (r, n),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((tm, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tm, F), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),

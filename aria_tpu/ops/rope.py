@@ -25,8 +25,20 @@ def precompute_rope(positions: Array, head_dim: int, base: float) -> tuple[Array
 
 
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
-    """Rotate interleaved pairs. x: [B, S, H, D]; cos/sin: [S, D/2] or [B, S, D/2]."""
-    xf = x.astype(jnp.float32)
+    """Rotate interleaved pairs. x: [B, S, H, D]; cos/sin: [S, D/2] or [B, S, D/2].
+
+    The rotation runs in fp32 (reference-exact) below 8K tokens. At a very
+    long one-shot prefill the f32 temporaries are the HBM margin — at 32K the
+    [1, S, 2560] convert copy plus its even/odd gathers were ~640MB of the
+    29MB the full int4 model was over budget — so >=8K rotates in the input
+    dtype (cos/sin still computed in f32 then rounded once; the output is
+    cast to x.dtype either way, so this adds one extra bf16 rounding on the
+    products, ~2^-8 relative, far under the int4 weight noise).
+    """
+    cdt = jnp.float32 if x.shape[1] < 8192 else x.dtype
+    xf = x.astype(cdt)
+    cos = cos.astype(cdt)
+    sin = sin.astype(cdt)
     x_even = xf[..., 0::2]
     x_odd = xf[..., 1::2]
     if cos.ndim == 2:  # [S, D/2] -> broadcast over batch and heads

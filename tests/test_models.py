@@ -259,6 +259,23 @@ class TestMoELM:
                 rtol=2e-4, atol=2e-4,
             )
 
+    def test_moe_token_chunking_exact(self, lm, monkeypatch):
+        """The long-prefill MoE token-chunking path (sequential lax.map over
+        bounded slices, moe_lm.py MOE_CHUNK) must match the unchunked path —
+        it is the path every >=32K one-shot prefill takes on the full int4
+        model (the 8192-token slices OOM'd there). Routing is per-token so
+        the math is the same; tolerances cover f32 reassociation between the
+        per-T expert-compute sub-paths."""
+        cfg, params = lm
+        B, S = 1, 16
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, S), 0, cfg.vocab_size)
+        full = lm_forward(params, cfg, tokens)
+        monkeypatch.setenv("ARIA_TPU_MOE_CHUNK", "4")
+        chunked = jax.jit(lambda t: lm_forward(params, cfg, t).logits)(tokens)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full.logits), rtol=2e-4, atol=2e-4
+        )
+
     def test_training_returns_aux_losses(self, lm):
         cfg, params = lm
         tokens = jnp.ones((2, 40), jnp.int32)
