@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--t", type=int, default=1, help="tokens (lanes)")
     ap.add_argument("--k", type=int, default=8, help="routing slots per token")
     ap.add_argument("--ft", type=int, default=1664)
+    ap.add_argument("--a8", action="store_true",
+                    help="W4A8 variant (integer MXU dots, the serving default)")
     args = ap.parse_args()
 
     L, E, I, D = args.layers, 66, 1664, 2560
@@ -45,7 +47,8 @@ def main():
     def run(x):
         def body(i, x):
             out = K.moe_decode_int4(
-                x, idx, wts, w1q4, w1sg, w2q4, w2s8, i % L, ft=args.ft
+                x, idx, wts, w1q4, w1sg, w2q4, w2s8, i % L, ft=args.ft,
+                act_int8=args.a8,
             )
             return (x + 0.0001 * out).astype(x.dtype)
 
