@@ -66,10 +66,13 @@ class KVCache(NamedTuple):
 
     With ``dtype="int4"`` the values are 4-bit, nibble-packed in HEAD PAIRS
     (head h rides the low nibble, head h + H/2 the high nibble of plane h of
-    a [L, B, H/2, S, D] int8 buffer): writes pack two fresh heads — never a
-    read-modify-write — and the decode kernel unpacks with one sublane
-    concat. Scales stay per (head, position), [L, B, H, S]. Quarter the KV
-    HBM traffic; 64K context fits one chip beside the EP-8 shard model."""
+    a [L, B, H/2, S, D] int8 buffer) with BIASED-LO bytes (B = 16*hi +
+    (lo+8), the quant.pack_int4 layout): writes pack two fresh heads —
+    never a read-modify-write — and the decode kernel unpacks ON THE MXU
+    via the affine identity lo = B - (B & 0xF0) - 8, hi = (B & 0xF0)/16
+    (ops/decode_attention._attend_block_p4). Scales stay per (head,
+    position), [L, B, H, S]. Quarter the KV HBM traffic; 64K context fits
+    one chip beside the EP-8 shard model."""
 
     k: Array
     v: Array
@@ -446,12 +449,17 @@ def _attention(
             v_t = jnp.round(v_t.astype(qdt) / v_sc[..., None])
             if packed4:
                 # nibble-pack head pairs (h -> lo, h + H/2 -> hi): fresh
-                # values only, never a read-modify-write of the cache
+                # values only, never a read-modify-write of the cache.
+                # BIASED-LO bytes (B = 16*hi + (lo+8), same layout as
+                # quant.pack_int4): lo = B - (B & 0xF0) - 8 and
+                # hi = (B & 0xF0)/16 are AFFINE in the raw byte, which lets
+                # the decode-attention kernel unpack on the MXU (dots on the
+                # raw and 16x-masked bytes) instead of per-byte VPU shifts
                 Hh = cfg.num_kv_heads // 2
 
                 def pack_heads(q):
                     q = jnp.clip(q, -8, 7).astype(jnp.int8)
-                    return (q[:, :Hh] & 0xF) | (q[:, Hh:] << 4)
+                    return ((q[:, :Hh] + 8) & 0xF) | (q[:, Hh:] << 4)
 
                 k_t, v_t = pack_heads(k_t), pack_heads(v_t)
             else:
@@ -615,9 +623,9 @@ def _attention(
         if new_cache.quantized:
             if new_cache.packed4:
                 def unpack_heads(p):  # [B, H/2, S, D] -> [B, H, S, D]
-                    b32 = p.astype(jnp.int32)
-                    lo = ((b32 << 28) >> 28).astype(jnp.float32)
-                    hi = ((b32 << 24) >> 28).astype(jnp.float32)
+                    b32 = p.astype(jnp.int32)  # biased-lo bytes (pack_heads)
+                    lo = ((b32 & 0xF) - 8).astype(jnp.float32)
+                    hi = (b32 >> 4).astype(jnp.float32)
                     return jnp.concatenate([lo, hi], axis=1)
 
                 k_att, v_att = unpack_heads(k_att), unpack_heads(v_att)

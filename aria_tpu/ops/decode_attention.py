@@ -77,11 +77,85 @@ def _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref, m_ref, s_ref, acc_ref,
             s_out[0] = s_ref[:]
 
 
+def _attend_block_p4(len_ref, q_ref, kp, vp, out_ref, m_ref, s_ref, acc_ref,
+                     b, s, n_s, k_sc, v_sc, stats_refs=None):
+    """Packed-int4 (head-pair, BIASED-LO bytes — moe_lm pack_heads) block:
+    unpack ON THE MXU. With hi16 = B & 0xF0 (one int8 mask, no shifts):
+
+        lo = B - hi16 - 8        hi = hi16 / 16     (both exact in bf16)
+
+    so the lo-head's scores are q_lo@B - q_lo@hi16 - 8*sum(q_lo) and the
+    hi-head's are (q_hi@hi16)/16 — the two hi16 products ride ONE 2-row dot
+    per pair, streaming each byte block through the MXU exactly as often as
+    the shift-unpack version's dots did. The per-byte VPU work drops from
+    two int32 widening shifts + concat copies to one mask + two bf16
+    converts; at 32K context the shift unpack alone was ~half the kernel's
+    time (the DMA floor is ~102us/layer, the kernel ran at ~46% of it).
+    Same trick as ops/moe_decode_kernel._ffn_q4 (and the prefill kernels)."""
+    q = q_ref[0]  # [H, D] bf16, pre-scaled
+    Hp, BS, D = kp.shape
+    H = 2 * Hp
+    cdt = jnp.bfloat16
+    dn_kT = (((1,), (1,)), ((), ()))   # [r, D] . [BS, D]^T -> [r, BS]
+    dn_v = (((1,), (0,)), ((), ()))    # [r, BS] . [BS, D] -> [r, D]
+    dot = functools.partial(jax.lax.dot_general,
+                            preferred_element_type=jnp.float32)
+
+    lo_rows, hi_rows = [], []
+    for p in range(Hp):
+        Bk = kp[p]  # [BS, D] raw bytes
+        Bf = Bk.astype(cdt)
+        h16 = (Bk & jnp.int8(-16)).astype(cdt)
+        q2 = jnp.concatenate([q[p : p + 1], q[p + Hp : p + Hp + 1]], axis=0)
+        d16 = dot(q2, h16, dimension_numbers=dn_kT)  # [2, BS]
+        dB = dot(q[p : p + 1], Bf, dimension_numbers=dn_kT)  # [1, BS]
+        qs = 8.0 * jnp.sum(q[p : p + 1].astype(jnp.float32), axis=1,
+                           keepdims=True)
+        lo_rows.append(dB - d16[0:1] - qs)
+        hi_rows.append(d16[1:2] * (1.0 / 16.0))
+    scores = jnp.concatenate(lo_rows + hi_rows, axis=0) * k_sc  # [H, BS]
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (H, BS), 1) + s * BS
+    scores = jnp.where(kv_idx < len_ref[b], scores, NEG_INF)
+
+    m_prev = m_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    prob = jnp.exp(scores - m_new)
+    s_new = s_ref[:, 0:1] * corr + jnp.sum(prob, axis=1, keepdims=True)
+    pw = (prob * v_sc).astype(cdt)  # value-scaled probabilities [H, BS]
+    lo_pv, hi_pv = [], []
+    for p in range(Hp):
+        Bv = vp[p]
+        Bf = Bv.astype(cdt)
+        h16 = (Bv & jnp.int8(-16)).astype(cdt)
+        p2 = jnp.concatenate([pw[p : p + 1], pw[p + Hp : p + Hp + 1]], axis=0)
+        d16 = dot(p2, h16, dimension_numbers=dn_v)  # [2, D]
+        dB = dot(pw[p : p + 1], Bf, dimension_numbers=dn_v)  # [1, D]
+        ps = 8.0 * jnp.sum(pw[p : p + 1].astype(jnp.float32), axis=1,
+                           keepdims=True)
+        lo_pv.append(dB - d16[0:1] - ps)
+        hi_pv.append(d16[1:2] * (1.0 / 16.0))
+    pv = jnp.concatenate(lo_pv + hi_pv, axis=0)  # [H, D] f32
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        if stats_refs is None:
+            out_ref[0] = (acc_ref[:] / s_ref[:, 0:1]).astype(out_ref.dtype)
+        else:
+            m_out, s_out = stats_refs
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+            m_out[0] = m_ref[:]
+            s_out[0] = s_ref[:]
+
+
 def _make_kernel(quant: bool, packed: bool, stats: bool):
     """One builder for bf16/int8/int4 caches, with or without stats outputs.
 
-    int4 (packed): head-pair-packed cache, unpack [H/2, bs, D] int8 ->
-    [H, bs, D] (int32 shifts — Mosaic cannot shift int8 vectors)."""
+    int4 (packed): head-pair-packed biased-lo cache, unpacked on the MXU
+    inside _attend_block_p4 (never materialized as [H, bs, D] values)."""
 
     def kernel(l_ref, len_ref, q_ref, k_ref, v_ref, *rest):
         if quant:
@@ -105,17 +179,14 @@ def _make_kernel(quant: bool, packed: bool, stats: bool):
             s_ref[:] = jnp.zeros_like(s_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        def unpack(p):
-            b32 = p.astype(jnp.int32)
-            lo = ((b32 << 28) >> 28).astype(jnp.bfloat16)
-            hi = ((b32 << 24) >> 28).astype(jnp.bfloat16)
-            return jnp.concatenate([lo, hi], axis=0)
-
-        k_blk = unpack(k_ref[0, 0]) if packed else k_ref[0, 0]
-        v_blk = unpack(v_ref[0, 0]) if packed else v_ref[0, 0]
-        _attend_block(len_ref, q_ref, k_blk, v_blk, out_ref,
-                      m_ref, s_ref, acc_ref, b, s, n_s,
-                      k_sc=k_sc, v_sc=v_sc, stats_refs=stats_refs)
+        if packed:
+            _attend_block_p4(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0],
+                             out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
+                             k_sc, v_sc, stats_refs=stats_refs)
+        else:
+            _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
+                          m_ref, s_ref, acc_ref, b, s, n_s,
+                          k_sc=k_sc, v_sc=v_sc, stats_refs=stats_refs)
 
     return kernel
 

@@ -119,9 +119,9 @@ def _dequant_plane(k_l, v_l, ks_l, vs_l, l_idx, packed4: bool):
     if ks_l is not None:
         if packed4:
             def unpack_heads(p):  # [B, H/2, S, D] -> [B, H, S, D]
-                b32 = p.astype(jnp.int32)
-                lo = ((b32 << 28) >> 28).astype(jnp.float32)
-                hi = ((b32 << 24) >> 28).astype(jnp.float32)
+                b32 = p.astype(jnp.int32)  # biased-lo bytes (pack_heads)
+                lo = ((b32 & 0xF) - 8).astype(jnp.float32)
+                hi = (b32 >> 4).astype(jnp.float32)
                 return jnp.concatenate([lo, hi], axis=1)
 
             k_att, v_att = unpack_heads(k_att), unpack_heads(v_att)

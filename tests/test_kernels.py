@@ -308,6 +308,37 @@ class TestDecodeAttentionKernel:
             np.asarray(out.astype(jnp.float32)), np.asarray(ref), rtol=2e-2, atol=5e-3
         )
 
+    def test_int4_packed_cache_variant(self):
+        """Head-pair-packed int4 cache (biased-lo bytes, moe_lm pack_heads
+        layout) through the kernel's MXU-side unpack must match sdpa over
+        the dequantized values. Direct kernel coverage — the engine tests
+        exercise this path only end-to-end through greedy matches."""
+        k, v, q, lengths, S = self._setup()
+        kn, vn = np.asarray(k), np.asarray(v)
+        ks = np.maximum(np.abs(kn).max(-1), 1e-6) / 7.0
+        vs = np.maximum(np.abs(vn).max(-1), 1e-6) / 7.0
+        k4 = np.clip(np.round(kn / ks[..., None]), -8, 7).astype(np.int8)
+        v4 = np.clip(np.round(vn / vs[..., None]), -8, 7).astype(np.int8)
+        H = kn.shape[2]
+        Hh = H // 2
+
+        def pack(qv):  # [L, B, H, S, D] int4 values -> [L, B, H/2, S, D] bytes
+            return ((qv[:, :, :Hh] + 8) & 0xF) | (qv[:, :, Hh:] << 4)
+
+        out = decode_attention(
+            q.astype(jnp.bfloat16), jnp.asarray(pack(k4)), jnp.asarray(pack(v4)),
+            jnp.int32(1), lengths,
+            jnp.asarray(ks), jnp.asarray(vs),  # scales keep all H head planes
+            interpret=True, block_s=128,
+        )
+        kd = (k4[1].astype(np.float32) * ks[1][..., None]).transpose(0, 2, 1, 3)
+        vd = (v4[1].astype(np.float32) * vs[1][..., None]).transpose(0, 2, 1, 3)
+        mask = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None, :]
+        ref = sdpa(q[:, None], jnp.asarray(kd), jnp.asarray(vd), mask)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(out.astype(jnp.float32)), np.asarray(ref), rtol=4e-2, atol=2e-2
+        )
+
 
 class TestPagedDecodeAttentionKernel:
     """Interpret-mode coverage for the paged Pallas kernel itself.

@@ -221,8 +221,8 @@ class TestInt4KVCache:
         sc_k = rng.rand(L, B, H, S).astype(np.float32) * 0.1 + 0.01
         sc_v = rng.rand(L, B, H, S).astype(np.float32) * 0.1 + 0.01
 
-        def pack(vals):  # head pairs -> nibbles
-            lo = vals[:, :, : H // 2] & 0xF
+        def pack(vals):  # head pairs -> biased-lo nibbles (moe_lm pack_heads)
+            lo = (vals[:, :, : H // 2] + 8) & 0xF
             hi = (vals[:, :, H // 2 :] & 0xF) << 4
             return (lo | hi).astype(np.int8)
 
