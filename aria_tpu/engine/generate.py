@@ -89,8 +89,10 @@ class Engine:
         mesh=None,  # multi-chip serving: TP/EP-shard params over this mesh
     ):
         self.cfg = cfg
-        # decode-attention streams the cache in 128-multiple blocks
-        self.max_seq_len = -(-max_seq_len // 256) * 256
+        # decode-attention streams the cache in 512-position blocks when the
+        # allocation divides (fewer per-block fixed costs; the length clamp
+        # keeps partial tails from costing a full block of DMA)
+        self.max_seq_len = -(-max_seq_len // 512) * 512
         self.cache_dtype = cache_dtype
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prefill_jit = {}

@@ -179,14 +179,27 @@ def _make_kernel(quant: bool, packed: bool, stats: bool):
             s_ref[:] = jnp.zeros_like(s_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        if packed:
-            _attend_block_p4(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0],
-                             out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
-                             k_sc, v_sc, stats_refs=stats_refs)
-        else:
-            _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0], out_ref,
-                          m_ref, s_ref, acc_ref, b, s, n_s,
-                          k_sc=k_sc, v_sc=v_sc, stats_refs=stats_refs)
+        # Skip blocks entirely past this lane's length: their KV BlockSpec
+        # index maps clamp to the last in-range block (Pallas skips the DMA
+        # when consecutive steps map to the same block), and this guard
+        # skips the compute. The LAST grid step always runs so the finalize
+        # inside the attend helpers fires; its scores are fully masked when
+        # past length (p = exp(NEG_INF - m) = 0), so it adds nothing. Decode
+        # cost therefore scales with the tokens actually cached, not the
+        # allocated S (an Engine at max_seq 33K streams ~0 extra for a
+        # 2K-token conversation).
+        bs_k = k_ref.shape[3]
+
+        @pl.when(jnp.logical_or(s * bs_k < len_ref[b], s == n_s - 1))
+        def _():
+            if packed:
+                _attend_block_p4(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0],
+                                 out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
+                                 k_sc, v_sc, stats_refs=stats_refs)
+            else:
+                _attend_block(len_ref, q_ref, k_ref[0, 0], v_ref[0, 0],
+                              out_ref, m_ref, s_ref, acc_ref, b, s, n_s,
+                              k_sc=k_sc, v_sc=v_sc, stats_refs=stats_refs)
 
     return kernel
 
@@ -201,7 +214,7 @@ def decode_attention(
     k_scale: Array = None,  # f32 [L, B, H, S] when the cache is int8
     v_scale: Array = None,
     *,
-    block_s: int = 256,
+    block_s: int = 512,
     interpret: bool = False,
     return_stats: bool = False,
 ) -> Array:
@@ -233,12 +246,21 @@ def decode_attention(
     scale = 1.0 / (D**0.5)
     q = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16 if quantized else q.dtype)
 
+    def _clamp_s(s, ln, b):
+        # Blocks past this lane's length map to the last in-range block:
+        # consecutive grid steps with an unchanged index skip the DMA, and
+        # the kernel's pl.when skips their compute — so the streamed KV
+        # volume tracks the ACTUAL context length, not the allocation S.
+        last = jnp.maximum((ln[b] + bs - 1) // bs - 1, 0)
+        return jnp.minimum(s, last)
+
     kv_spec = pl.BlockSpec(
-        (1, 1, H // 2 if packed4 else H, bs, D), lambda b, s, l, ln: (l[0], b, 0, s, 0),
+        (1, 1, H // 2 if packed4 else H, bs, D),
+        lambda b, s, l, ln: (l[0], b, 0, _clamp_s(s, ln, b), 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, 1, H, bs), lambda b, s, l, ln: (l[0], b, 0, s),
+        (1, 1, H, bs), lambda b, s, l, ln: (l[0], b, 0, _clamp_s(s, ln, b)),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
