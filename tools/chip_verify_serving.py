@@ -308,7 +308,6 @@ def main():
         record("http_chat_image_980vit_warm", True, latency_s=round(dt, 2))
 
         try:
-            import os
             import tempfile
 
             import cv2
