@@ -652,6 +652,82 @@ def _attention(
     return proj.astype(x.dtype), new_cache
 
 
+def _experts_lora_blocked(
+    x: Array,  # [T, D]
+    indices: Array,  # [T, k]
+    weights: Array,  # [T, k]
+    w1q: dict,  # this layer's QUANTIZED w1 stack (int4 or int8 dict, [E, ...])
+    w2q: dict,
+    lora: dict,  # per-layer adapters incl. "w1"/"w2" expert factors
+    lora_scale: float,
+    lora_onehot: Optional[Array],
+    dtype,
+) -> Array:
+    """Expert-LoRA capacity path over quantized stacks, one expert block at a
+    time.
+
+    The adapters sit INSIDE the expert GLU (reference lora/layers.py:108-152:
+    fc1' = fc1(x) + B1A1(x) before the activation), so the base int4/int8
+    kernels cannot run beneath them — the XLA capacity path needs fp weights.
+    Dequantizing a whole flagship layer is a ~2.1GB f32 temp (x2 with XLA's
+    layout copy), which does not fit beside the resident 12.9GB int4 model.
+    Scanning over expert blocks bounds the dequant temp to E_b/E of a layer:
+    routing slots pointing outside the current block are clipped to local
+    expert 0 with weight zero (their capacity rows compute garbage that
+    combines to exactly 0.0), so the f32 block-sum equals the unblocked
+    dispatch bit-for-tolerance (additions of exact zeros; block order only
+    reassociates the per-token k-slot f32 sum).
+    """
+    import os
+
+    E = (w1q["q4"] if "q4" in w1q else w1q["q"]).shape[0]
+    eb = int(os.environ.get("ARIA_TPU_LORA_EBLOCK", "0"))
+    if eb <= 0 or E % eb:
+        eb = next((b for b in range(min(16, E), 0, -1) if E % b == 0), E)
+    nb = E // eb
+    if nb == 1:  # single block = the plain path, skip the scan machinery
+        w1, w2 = dequantize_expert_weights(w1q, w2q, dtype=dtype)
+        return experts_grouped(
+            x, indices, weights, w1, w2,
+            lora_w1=lora.get("w1"), lora_w2=lora.get("w2"),
+            lora_scale=lora_scale, lora_onehot=lora_onehot,
+        )
+    lw1, lw2 = lora.get("w1"), lora.get("w2")
+
+    def _blk_slice(tree, e0):
+        # expert axis: 0 for quantized leaves [E, ...]; ndim-3 for adapter
+        # factors ("a": [.., E, D, r], "b": [.., E, r, F] — single or [A, ...])
+        return {
+            k: jax.lax.dynamic_slice_in_dim(
+                v, e0, eb, axis=(v.ndim - 3) if k in ("a", "b") else 0)
+            for k, v in tree.items()
+        }
+
+    def blk(acc, b):
+        e0 = b * eb
+        w1, w2 = dequantize_expert_weights(
+            _blk_slice(w1q, e0), _blk_slice(w2q, e0), dtype=dtype)
+        il = indices - e0
+        valid = (il >= 0) & (il < eb)
+        wts = jnp.where(valid, weights, jnp.zeros((), weights.dtype))
+        # invalid slots route to the out-of-range id eb: _dispatch_indices
+        # sends them to the trash row (clipping to a REAL local expert could
+        # overflow its capacity and evict that expert's genuine tokens)
+        il = jnp.where(valid, il, eb)
+        out = experts_grouped(
+            x, il, wts, w1, w2,
+            lora_w1=_blk_slice(lw1, e0) if lw1 else None,
+            lora_w2=_blk_slice(lw2, e0) if lw2 else None,
+            lora_scale=lora_scale, lora_onehot=lora_onehot,
+        )
+        return acc + out.astype(jnp.float32), None
+
+    acc, _ = jax.lax.scan(
+        blk, jnp.zeros(x.shape, jnp.float32), jnp.arange(nb, dtype=jnp.int32)
+    )
+    return acc.astype(dtype)
+
+
 def _moe_ffn(
     layer: dict,
     cfg: TextConfig,
@@ -899,9 +975,22 @@ def _moe_ffn(
                         for k2, v in w.items() if k2 in ("q", "s", "q4", "sg", "s8")}
             return jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
 
-        w1, w2 = dequantize_expert_weights(_slice(w1_full), _slice(w2_full), dtype=x.dtype)
-        args = (flat, indices, weights, w1, w2)
-        if has_expert_lora:
+        if has_expert_lora and isinstance(w1_full, dict):
+            # LoRA factors live inside the expert nonlinearity -> capacity
+            # path; quantized base -> blocked dequant (a whole-layer fp
+            # stack would not fit beside the resident full int4 model).
+            expert_out = _experts_lora_blocked(
+                flat, indices, weights, _slice(w1_full), _slice(w2_full),
+                lora, lora_scale, lora_onehot, x.dtype,
+            )
+            w1 = w2 = args = None
+        else:
+            w1, w2 = dequantize_expert_weights(
+                _slice(w1_full), _slice(w2_full), dtype=x.dtype)
+            args = (flat, indices, weights, w1, w2)
+        if args is None:
+            pass  # expert_out computed by the blocked path above
+        elif has_expert_lora:
             # LoRA factors live inside the expert nonlinearity -> capacity path
             # (per-expert batched GEMMs + LoRA deltas, lora/layers.py:108-152).
             expert_out = experts_grouped(

@@ -344,3 +344,79 @@ class TestFusedBaseAdapters:
         lora1, lc1 = make_adapter(1)
         reg = AdapterRegistry({"t1": lora1}, scales={"t1": lc1.scale})
         assert registry_for_params(reg, params["lm"]["layers"], TINY.text) is reg
+
+
+class TestBlockedExpertLora:
+    """The quantized-base expert-LoRA path dequantizes one expert block at a
+    time (moe_lm._experts_lora_blocked) — a whole flagship layer in fp is a
+    ~4GB temp that OOMs beside the resident int4 model. Blocked must equal
+    the unblocked dequant + experts_grouped capacity path."""
+
+    def _stacks(self, E=6, D=256, I=128, seed=0):
+        from aria_tpu.ops.quant import quantize_expert_int4
+
+        rng = np.random.RandomState(seed)
+        w1 = jnp.asarray(rng.randn(E, 2 * I, D).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(rng.randn(E, I, D).astype(np.float32) * 0.05)
+        return quantize_expert_int4(w1, w2)
+
+    def test_blocked_matches_unblocked(self):
+        import os
+
+        from aria_tpu.models.moe_lm import _experts_lora_blocked
+        from aria_tpu.ops.moe import experts_grouped
+        from aria_tpu.ops.quant import dequantize_expert_weights
+
+        E, D, I, T, k, r = 6, 256, 128, 10, 2, 4
+        w1q, w2q = self._stacks(E, D, I)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(T, D).astype(np.float32) * 0.3)
+        idx = jnp.asarray(rng.randint(0, E, (T, k)).astype(np.int32))
+        wts = jnp.asarray(rng.rand(T, k).astype(np.float32))
+
+        for multi in (False, True):
+            lead = (3, E) if multi else (E,)
+            lw1 = {"a": jnp.asarray(rng.randn(*lead, D, r).astype(np.float32) * 0.1),
+                   "b": jnp.asarray(rng.randn(*lead, r, 2 * I).astype(np.float32) * 0.1)}
+            lw2 = {"a": jnp.asarray(rng.randn(*lead, I, r).astype(np.float32) * 0.1),
+                   "b": jnp.asarray(rng.randn(*lead, r, D).astype(np.float32) * 0.1)}
+            oh = None
+            if multi:
+                ids = rng.randint(0, 3, T)
+                hot = np.zeros((3, T), np.float32)
+                hot[ids, np.arange(T)] = 1.0
+                oh = jnp.asarray(hot)
+
+            w1d, w2d = dequantize_expert_weights(w1q, w2q, dtype=jnp.float32)
+            ref = experts_grouped(x, idx, wts, w1d, w2d, lora_w1=lw1,
+                                  lora_w2=lw2, lora_scale=0.5, lora_onehot=oh)
+            os.environ["ARIA_TPU_LORA_EBLOCK"] = "2"
+            try:
+                out = _experts_lora_blocked(
+                    x, idx, wts, w1q, w2q, {"w1": lw1, "w2": lw2}, 0.5, oh,
+                    jnp.float32)
+            finally:
+                del os.environ["ARIA_TPU_LORA_EBLOCK"]
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=3e-5, atol=3e-5)
+
+    def test_block_size_fallback_divides(self):
+        import os
+
+        from aria_tpu.models.moe_lm import _experts_lora_blocked
+
+        # E=6 with a non-dividing env override falls back to a divisor
+        w1q, w2q = self._stacks()
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 6, (4, 2)).astype(np.int32))
+        wts = jnp.asarray(rng.rand(4, 2).astype(np.float32))
+        lw1 = {"a": jnp.zeros((6, 256, 2), jnp.float32),
+               "b": jnp.zeros((6, 2, 256), jnp.float32)}
+        os.environ["ARIA_TPU_LORA_EBLOCK"] = "5"
+        try:
+            out = _experts_lora_blocked(x, idx, wts, w1q, w2q, {"w1": lw1},
+                                        1.0, None, jnp.float32)
+        finally:
+            del os.environ["ARIA_TPU_LORA_EBLOCK"]
+        assert out.shape == x.shape
