@@ -63,10 +63,15 @@ def stack_adapters(
             b_pad[..., :ra, :] = np.asarray(ab["b"], np.float32) * s
             a_stack.append(a_pad)
             b_stack.append(b_pad)
-        # [A+1, L, ...] -> [L, A+1, ...]: layer axis leading for scan xs
+        # [A+1, L, ...] -> [L, A+1, ...]: layer axis leading for scan xs.
+        # Stacked factors keep the CALLER's dtype (bf16 adapters at flagship
+        # scale are ~450MB; force-f32 stacks doubled that and tipped the
+        # full-int4 form over HBM).
         out[name] = {
-            "a": jnp.asarray(np.stack(a_stack).swapaxes(0, 1)),
-            "b": jnp.asarray(np.stack(b_stack).swapaxes(0, 1)),
+            "a": jnp.asarray(np.stack(a_stack).swapaxes(0, 1),
+                             dtype=proto["a"].dtype),
+            "b": jnp.asarray(np.stack(b_stack).swapaxes(0, 1),
+                             dtype=proto["b"].dtype),
         }
     return {"layers": out}
 
@@ -90,6 +95,12 @@ def fuse_shared_adapters(layers: dict, num_experts: int, num_shared: int,
     out = dict(layers)
     sw1 = out.pop("shared_w1", None)
     sw2 = out.pop("shared_w2", None)
+    # fused factors keep the input dtype (the host math runs in f32)
+    _proto = next(
+        (t for t in (out.get("w1"), out.get("w2"), sw1, sw2) if t is not None),
+        None,
+    )
+    _dt = _proto["a"].dtype if _proto is not None else np.float32
 
     def _pad_rank(x, axis, r):
         have = x.shape[axis]
@@ -106,7 +117,7 @@ def fuse_shared_adapters(layers: dict, num_experts: int, num_shared: int,
                             _pad_rank(virt["a"], a_rank_axis, r)], axis=eaxis)
         b = np.concatenate([_pad_rank(expert["b"], b_rank_axis, r),
                             _pad_rank(virt["b"], b_rank_axis, r)], axis=eaxis)
-        return {"a": jnp.asarray(a), "b": jnp.asarray(b)}
+        return {"a": jnp.asarray(a, dtype=_dt), "b": jnp.asarray(b, dtype=_dt)}
 
     def _tile_virt(x, lead):
         """[lead..., ...rest] -> [lead..., ns, ...rest]."""
