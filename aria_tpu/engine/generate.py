@@ -51,6 +51,11 @@ class GenerationConfig:
     # regex or the JSON grammar. Applied as a gather+mask inside the jitted
     # decode scan — no per-step host sync.
     guided: Optional[object] = None  # TokenFSM
+    # Prompt-lookup speculative decoding (engine/speculative.py): draft k
+    # tokens from the on-device n-gram matcher, verify them in one (k+1)-
+    # token forward. Greedy output is bit-identical to plain decode; sampled
+    # output preserves the target distribution (rejection sampling).
+    speculative: Optional[object] = None  # SpeculativeConfig
 
     @property
     def uses_penalties(self) -> bool:
@@ -238,6 +243,120 @@ class Engine:
 
         return decode_n
 
+    def _spec_fn(self):
+        """Speculative decode chunk: ``n_outer`` draft->verify->accept steps
+        chained in one jitted scan (engine/speculative.py). Each step feeds
+        the last produced token + k drafted tokens through ONE forward —
+        decode is weight-DMA-bound, so the k extra rows ride under the same
+        weight stream and accepted draft tokens are nearly free. Rejected
+        positions need no rollback: their cache rows sit past the accepted
+        length (every mask clamps to it) and are overwritten on reuse."""
+        cfg = self.cfg
+        mesh = self.mesh
+
+        from aria_tpu.engine.speculative import (
+            ngram_draft,
+            verify_greedy,
+            verify_sampled,
+        )
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("n_outer", "k", "ngram", "temperature", "top_k"),
+            donate_argnums=(2,),
+        )
+        def spec_chunk(params, cur, cache, pos, hist, hist_len, rng,
+                       top_p=None, min_p=None,
+                       *, n_outer, k, ngram, temperature, top_k):
+            kv_pos = jnp.arange(cache.k.shape[3])
+            cap = n_outer * (k + 1)
+            greedy = (
+                float(temperature) <= 0.0 and top_p is None and min_p is None
+            )
+
+            def step(carry, i):
+                cur, cache, pos, hist, hl, out_buf, out_len = carry
+                draft = ngram_draft(hist, jnp.full((1,), hl), ngram, k)
+                fed = jnp.concatenate([cur[:, None], draft], axis=1)
+                positions = pos + jnp.arange(k + 1, dtype=jnp.int32)
+                mask = (kv_pos[None, :] <= positions[:, None])[None, None]
+                out = lm_forward(
+                    params["lm"], cfg.text, fed,
+                    positions=positions, mask=mask,
+                    cache=cache, cache_pos=pos, mesh=mesh,
+                )
+                logits = out.logits.astype(jnp.float32)  # [1, k+1, V]
+                if greedy:
+                    prod, n_prod = verify_greedy(logits, draft)
+                else:
+                    prod, n_prod = verify_sampled(
+                        jax.random.fold_in(rng, i), logits, draft,
+                        temperature, top_k, top_p, min_p,
+                    )
+                np0 = n_prod[0]
+                out_buf = jax.lax.dynamic_update_slice(out_buf, prod, (0, out_len))
+                hist = jax.lax.dynamic_update_slice(hist, prod, (0, hl))
+                cur = jnp.take_along_axis(prod, (n_prod - 1)[:, None], axis=1)[:, 0]
+                return (cur, out.cache, pos + np0, hist, hl + np0,
+                        out_buf, out_len + np0), np0
+
+            init = (cur, cache, pos, hist, hist_len,
+                    jnp.zeros((1, cap), jnp.int32), jnp.int32(0))
+            (cur, cache, pos, hist, hist_len, out_buf, out_len), per_step = (
+                jax.lax.scan(step, init, jnp.arange(n_outer))
+            )
+            return out_buf, out_len, cur, cache, pos, hist, hist_len, per_step
+
+        return spec_chunk
+
+    def _generate_speculative(self, gen, prompt_tokens, true_len, cache,
+                              next_tok, first, top_p, min_p):
+        """Chunked speculative decode loop (called by generate after prefill)."""
+        sp = gen.speculative
+        cap = sp.steps_per_chunk * (sp.k + 1)
+        hist_np = np.zeros((1, self.max_seq_len + cap + sp.ngram), np.int32)
+        hist_np[0, :true_len] = prompt_tokens
+        hist_np[0, true_len] = first
+        hist = jnp.asarray(hist_np)
+        hist_len = jnp.int32(true_len + 1)
+        pos = jnp.int32(true_len)
+        cur = next_tok
+
+        key = ("spec",)
+        if key not in self._decode_jit:
+            self._decode_jit[key] = self._spec_fn()
+        spec_chunk = self._decode_jit[key]
+
+        generated = [first]
+        stop_ids = set(gen.stop_token_ids)
+        stopped = first in stop_ids
+        accepted = []  # produced tokens per verify step (speed diagnostic)
+        # like the plain path, the prefill token counts toward max_new_tokens
+        while not stopped and len(generated) < gen.max_new_tokens:
+            self._rng, rng_d = jax.random.split(self._rng)
+            out_buf, n_out, cur, cache, pos, hist, hist_len, per_step = (
+                spec_chunk(
+                    self.params, cur, cache, pos, hist, hist_len, rng_d,
+                    top_p, min_p,
+                    n_outer=sp.steps_per_chunk, k=sp.k, ngram=sp.ngram,
+                    temperature=gen.temperature, top_k=gen.top_k,
+                )
+            )
+            accepted.extend(np.asarray(per_step).tolist())
+            for t in np.asarray(out_buf)[0, : int(n_out)].tolist():
+                generated.append(t)
+                if t in stop_ids:
+                    stopped = True
+                    break
+                if len(generated) >= gen.max_new_tokens:
+                    break
+        generated = generated[: gen.max_new_tokens]
+        for i, t in enumerate(generated):
+            if t in stop_ids:
+                generated = generated[: i + 1]
+                break
+        return generated, accepted
+
     # ---------------- public API ----------------
 
     def new_cache(self, batch: int = 1) -> KVCache:
@@ -262,6 +381,23 @@ class Engine:
                 f"prompt bucket {bucket} + max_new_tokens {gen.max_new_tokens} "
                 f"exceeds max_seq_len {self.max_seq_len}"
             )
+        if gen.speculative is not None:
+            sp = gen.speculative
+            if gen.guided is not None or gen.uses_penalties:
+                raise ValueError(
+                    "speculative decoding composes with temperature/top_k/"
+                    "top_p/min_p but not (yet) with guided decoding or "
+                    "sampling penalties"
+                )
+            # a chunk may overshoot max_new_tokens before the host trims, and
+            # every verify step writes k+1 cache rows from the current pos
+            slack = sp.steps_per_chunk * (sp.k + 1) + sp.k
+            if bucket + gen.max_new_tokens + slack > self.max_seq_len:
+                raise ValueError(
+                    f"speculative decoding needs {slack} slack cache rows: "
+                    f"bucket {bucket} + max_new {gen.max_new_tokens} + "
+                    f"{slack} > max_seq_len {self.max_seq_len}"
+                )
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :true_len] = prompt_tokens
 
@@ -316,6 +452,17 @@ class Engine:
             )
         first = int(next_tok[0])  # blocks until prefill done
         t1 = time.perf_counter()
+
+        if gen.speculative is not None:
+            generated, _ = self._generate_speculative(
+                gen, prompt_tokens, true_len, cache, next_tok, first,
+                top_p, min_p,
+            )
+            t2 = time.perf_counter()
+            return GenerateResult(
+                tokens=generated, prefill_s=t1 - t0, decode_s=t2 - t1,
+                steps=len(generated) - 1,
+            )
 
         generated = [first]
         stop_ids = set(gen.stop_token_ids)

@@ -652,6 +652,33 @@ def _attention(
     return proj.astype(x.dtype), new_cache
 
 
+def _pin_default_layout(x: Array) -> Array:
+    """Identity Pallas copy that pins its output to the default layout.
+
+    XLA's layout assignment propagates a consumer's preferred layout through
+    dynamic-slices to the PARAMETER being sliced: for the blocked expert-LoRA
+    dequant, the unpack chain's interleaving reshape made XLA materialize a
+    transpose copy of the WHOLE resident int4 stacks (7.3GB + 3.7GB HLO
+    temps, observed on-chip; optimization_barrier does not stop layout
+    propagation). Custom calls take default layouts, so this cheap per-block
+    copy cuts the chain at a ~25MB slice."""
+    from jax.experimental import pallas as pl
+
+    blk = (1,) + x.shape[1:]
+
+    def _copy(src, dst):
+        dst[...] = src[...]
+
+    return pl.pallas_call(
+        _copy,
+        grid=(x.shape[0],),
+        in_specs=[pl.BlockSpec(blk, lambda i: (i,) + (0,) * (x.ndim - 1))],
+        out_specs=pl.BlockSpec(blk, lambda i: (i,) + (0,) * (x.ndim - 1)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=kernel_interpret(),
+    )(x)
+
+
 def _experts_lora_blocked(
     x: Array,  # [T, D]
     indices: Array,  # [T, k]
@@ -662,6 +689,7 @@ def _experts_lora_blocked(
     lora_scale: float,
     lora_onehot: Optional[Array],
     dtype,
+    pin_layout: bool = False,  # True on the single-chip Pallas backend
 ) -> Array:
     """Expert-LoRA capacity path over quantized stacks, one expert block at a
     time.
@@ -705,8 +733,12 @@ def _experts_lora_blocked(
 
     def blk(acc, b):
         e0 = b * eb
-        w1, w2 = dequantize_expert_weights(
-            _blk_slice(w1q, e0), _blk_slice(w2q, e0), dtype=dtype)
+        w1b = _blk_slice(w1q, e0)
+        w2b = _blk_slice(w2q, e0)
+        if pin_layout:
+            w1b = {k2: _pin_default_layout(v) for k2, v in w1b.items()}
+            w2b = {k2: _pin_default_layout(v) for k2, v in w2b.items()}
+        w1, w2 = dequantize_expert_weights(w1b, w2b, dtype=dtype)
         il = indices - e0
         valid = (il >= 0) & (il < eb)
         wts = jnp.where(valid, weights, jnp.zeros((), weights.dtype))
@@ -982,6 +1014,7 @@ def _moe_ffn(
             expert_out = _experts_lora_blocked(
                 flat, indices, weights, _slice(w1_full), _slice(w2_full),
                 lora, lora_scale, lora_onehot, x.dtype,
+                pin_layout=kernels_ok,
             )
             w1 = w2 = args = None
         else:

@@ -300,23 +300,33 @@ def quantize_expert_int4(w1: Array, w2: Array) -> tuple:
     return w1_dict, w2_dict
 
 
+def _deq_compute_dtype(dtype):
+    # int4 values (<= +-7) are exact in bf16 and the scales are STORED bf16,
+    # so a bf16 unpack-and-scale rounds once from exact operands — identical
+    # to computing in f32 then casting, at half the intermediate HBM (the
+    # f32 temps are ~2GB per flagship layer).
+    return dtype if dtype == jnp.bfloat16 else jnp.float32
+
+
 def dequantize_w1_int4(w1: dict, dtype=jnp.bfloat16) -> Array:
     q4, sg = w1["q4"], w1["sg"]
     *lead, R, Dp = q4.shape
     D = 2 * Dp
     ng = int4_group_count(D)
     gs = D // ng
-    vals = unpack_int4(q4, gs, jnp.float32).reshape(*lead, R, ng, gs)
+    cd = _deq_compute_dtype(dtype)
+    vals = unpack_int4(q4, gs, cd).reshape(*lead, R, ng, gs)
     s = jnp.swapaxes(sg[..., :ng, :], -1, -2)  # [..., R, ng]
-    return (vals * s[..., None].astype(jnp.float32)).reshape(*lead, R, D).astype(dtype)
+    return (vals * s[..., None].astype(cd)).reshape(*lead, R, D).astype(dtype)
 
 
 def dequantize_w2_int4(w2: dict, dtype=jnp.bfloat16) -> Array:
     q4, s8 = w2["q4"], w2["s8"]
     *lead, I, Dp = q4.shape
     D = 2 * Dp
-    vals = unpack_int4(q4, D, jnp.float32)
-    return (vals * s8[..., 0:1, :].astype(jnp.float32)).astype(dtype)
+    cd = _deq_compute_dtype(dtype)
+    vals = unpack_int4(q4, D, cd)
+    return (vals * s8[..., 0:1, :].astype(cd)).astype(dtype)
 
 
 def quantize_lm_params_int4(lm_params: dict) -> dict:

@@ -420,3 +420,35 @@ class TestBlockedExpertLora:
         finally:
             del os.environ["ARIA_TPU_LORA_EBLOCK"]
         assert out.shape == x.shape
+
+    def test_blocked_pin_layout_interpret(self):
+        """pin_layout routes block slices through the Pallas identity copy
+        (layout laundering on TPU); interpret mode pins numerical identity."""
+        import os
+
+        from aria_tpu.models.moe_lm import _experts_lora_blocked
+
+        w1q, w2q = self._stacks()
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(5, 256).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 6, (5, 2)).astype(np.int32))
+        wts = jnp.asarray(rng.rand(5, 2).astype(np.float32))
+        lw1 = {"a": jnp.asarray(rng.randn(6, 256, 2).astype(np.float32) * 0.1),
+               "b": jnp.asarray(rng.randn(6, 2, 256).astype(np.float32) * 0.1)}
+        os.environ["ARIA_TPU_LORA_EBLOCK"] = "3"
+        try:
+            ref = _experts_lora_blocked(x, idx, wts, w1q, w2q, {"w1": lw1},
+                                        1.0, None, jnp.float32)
+            os.environ["ARIA_TPU_KERNELS"] = "interpret"
+            from aria_tpu.ops import backend
+            backend.kernel_backend.cache_clear()
+            out = _experts_lora_blocked(x, idx, wts, w1q, w2q, {"w1": lw1},
+                                        1.0, None, jnp.float32,
+                                        pin_layout=True)
+        finally:
+            del os.environ["ARIA_TPU_LORA_EBLOCK"]
+            os.environ.pop("ARIA_TPU_KERNELS", None)
+            from aria_tpu.ops import backend
+            backend.kernel_backend.cache_clear()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
