@@ -157,9 +157,10 @@ class TestEngineSpeculative:
 
     def test_slack_validation(self):
         params = make_params()
-        eng = Engine(params, TINY, max_seq_len=128, cache_dtype=jnp.float32)
+        # Engine rounds max_seq_len up to 512-multiples
+        eng = Engine(params, TINY, max_seq_len=512, cache_dtype=jnp.float32)
         with pytest.raises(ValueError, match="slack"):
             eng.generate(
                 [1, 2, 3], GenerationConfig(
-                    max_new_tokens=90,
+                    max_new_tokens=420,
                     speculative=SpeculativeConfig(k=7, steps_per_chunk=8)))
