@@ -69,6 +69,9 @@ class GenerateResult:
     prefill_s: float
     decode_s: float
     steps: int
+    # speculative runs only: forward passes executed and tokens each produced
+    verify_steps: Optional[int] = None
+    produced_per_step: Optional[list[int]] = None
 
     @property
     def tokens_per_s(self) -> float:
@@ -454,7 +457,7 @@ class Engine:
         t1 = time.perf_counter()
 
         if gen.speculative is not None:
-            generated, _ = self._generate_speculative(
+            generated, accepted = self._generate_speculative(
                 gen, prompt_tokens, true_len, cache, next_tok, first,
                 top_p, min_p,
             )
@@ -462,6 +465,7 @@ class Engine:
             return GenerateResult(
                 tokens=generated, prefill_s=t1 - t0, decode_s=t2 - t1,
                 steps=len(generated) - 1,
+                verify_steps=len(accepted), produced_per_step=accepted,
             )
 
         generated = [first]
