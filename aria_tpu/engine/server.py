@@ -172,11 +172,10 @@ class BatchedEngine:
 
         return jax.jit(lambda params, pv, pm: encode_images(params, cfg, pv, pm))
 
-    def _make_prefill(self):
+    def _make_prefill(self, multi: bool):
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
-        multi = self.adapters is not None
         lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("lane",))
@@ -233,7 +232,7 @@ class BatchedEngine:
 
         return prefill
 
-    def _make_prefill_multi(self):
+    def _make_prefill_multi(self, multi: bool):
         """Batched admission: N same-bucket text prompts prefill in ONE call
         writing N cache lanes. 32 serial per-request prefills each stream the
         whole expert stack (~1.7 ms/layer x 28 x N device time); batched,
@@ -242,7 +241,6 @@ class BatchedEngine:
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
-        multi = self.adapters is not None
         lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -305,12 +303,21 @@ class BatchedEngine:
 
         return prefill_multi
 
-    @functools.cached_property
-    def _decode_jit(self):
+    def _decode_prog(self, multi: bool):
+        """Decode program, one variant per ``multi`` (adapters threaded or
+        not): when NO active lane holds an adapter, the base variant runs —
+        on a quantized base the adapter variant pays the blocked dequant
+        path every step (observed 12.5 vs ~500 tok/s aggregate at the full
+        int4 form), so base-only traffic must never ride it."""
+        progs = self.__dict__.setdefault("_decode_progs", {})
+        if multi not in progs:
+            progs[multi] = self._make_decode(multi)
+        return progs[multi]
+
+    def _make_decode(self, multi: bool):
         cfg = self.cfg
         mesh = self.mesh
         guided = self.guided_fsm is not None
-        multi = self.adapters is not None
         lp_k = self.logprobs_topk
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
@@ -504,9 +511,12 @@ class BatchedEngine:
             temps[row] = self.temperature if req.temperature is None else req.temperature
             lanes_arr[row] = lanes[i]
             samp[row] = self._req_sampling(req)
-        key = ("multi", bucket, Np)
+        # base-only groups take the no-adapter program: on a quantized base
+        # the adapter variant pays the blocked dequant path for every layer
+        use_ml = self.adapters is not None and any(r.adapter_id for r in group)
+        key = ("multi", bucket, Np, use_ml)
         if key not in self._prefill_jit:
-            self._prefill_jit[key] = self._make_prefill_multi()
+            self._prefill_jit[key] = self._make_prefill_multi(use_ml)
         self._rng, rng = jax.random.split(self._rng)
         args = (self.params, jnp.asarray(tokens), self.cache,
                 jnp.asarray(true_lens), rng, jnp.asarray(lanes_arr),
@@ -518,11 +528,12 @@ class BatchedEngine:
             mlkw.update(pen=(jnp.asarray(samp[:, 2]), jnp.asarray(samp[:, 3]),
                              jnp.asarray(samp[:, 4])))
         if self.adapters is not None:
+            for i, req in enumerate(group):
+                self.lane_adapter[lanes[i]] = req.adapter_id
+        if use_ml:
             ids = [group[i].adapter_id for i in rows]
             mlkw.update(ml=self.adapters.stacked,
                         lora_hot=self.adapters.lane_onehot(ids))
-            for i, req in enumerate(group):
-                self.lane_adapter[lanes[i]] = req.adapter_id
         if self.guided_fsm is not None:
             f = self.guided_fsm
             g0 = np.full(Np, f.free_state, np.int32)
@@ -574,9 +585,10 @@ class BatchedEngine:
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :true_len] = req.prompt_tokens
 
-        key = (bucket, req.pixel_values is not None)
+        use_ml = self.adapters is not None and req.adapter_id != 0
+        key = (bucket, req.pixel_values is not None, use_ml)
         if key not in self._prefill_jit:
-            self._prefill_jit[key] = self._make_prefill()
+            self._prefill_jit[key] = self._make_prefill(use_ml)
         prefill = self._prefill_jit[key]
 
         self._rng, rng = jax.random.split(self._rng)
@@ -601,9 +613,10 @@ class BatchedEngine:
                                jnp.full((1,), freq, jnp.float32),
                                jnp.full((1,), rep, jnp.float32)))
         if self.adapters is not None:
+            self.lane_adapter[lane] = req.adapter_id
+        if use_ml:
             kwargs.update(ml=self.adapters.stacked,
                           lora_hot=self.adapters.lane_onehot([req.adapter_id]))
-            self.lane_adapter[lane] = req.adapter_id
         if self.guided_fsm is not None:
             f = self.guided_fsm
             kwargs.update(
@@ -695,7 +708,8 @@ class BatchedEngine:
             dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
             if self.guided_fsm is not None else {}
         )
-        if self.adapters is not None:
+        use_ml = self.adapters is not None and bool(self.lane_adapter.any())
+        if use_ml:
             gkw.update(ml=self.adapters.stacked,
                        lora_hot=self.adapters.lane_onehot(self.lane_adapter))
         gkw.update(self._sampling_kwargs())
@@ -703,7 +717,7 @@ class BatchedEngine:
             gkw["pen"] = (self.lane_counts, self.lane_pmask,
                           jnp.asarray(self.lane_pres), jnp.asarray(self.lane_freq),
                           jnp.asarray(self.lane_rep))
-        all_toks, last, self.cache, pos, gstate, lps, counts = self._decode_jit(
+        all_toks, last, self.cache, pos, gstate, lps, counts = self._decode_prog(use_ml)(
             self.params, self.lane_tok, self.cache,
             jnp.asarray(self.lane_pos), jnp.asarray(active),
             jnp.asarray(self.lane_temp), rng, **gkw,
@@ -872,8 +886,13 @@ class PagedBatchedEngine:
 
     # ------------------------------------------------------------ jit fns
 
-    @functools.cached_property
-    def _chunk_jit(self):
+    def _chunk_prog(self, multi: bool):
+        progs = self.__dict__.setdefault("_chunk_progs", {})
+        if multi not in progs:
+            progs[multi] = self._make_chunk(multi)
+        return progs[multi]
+
+    def _make_chunk(self, multi: bool):
         """One prefill chunk for N mid-prefill lanes TOGETHER: each serial
         per-lane chunk streams the whole expert stack, so advancing every
         prefilling lane in one call makes admission cost O(1) model sweeps
@@ -883,7 +902,6 @@ class PagedBatchedEngine:
         cfg = self.cfg
         C, K = self.C, self.S
         guided = self.guided_fsm is not None
-        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def prefill_chunk(params, embeds, cache, pt_rows, offsets, logit_at, temp, rng,
@@ -924,12 +942,16 @@ class PagedBatchedEngine:
 
         return prefill_chunk
 
-    @functools.cached_property
-    def _decode_jit(self):
+    def _decode_prog(self, multi: bool):
+        progs = self.__dict__.setdefault("_decode_progs", {})
+        if multi not in progs:
+            progs[multi] = self._make_decode(multi)
+        return progs[multi]
+
+    def _make_decode(self, multi: bool):
         cfg = self.cfg
         K = self.S
         guided = self.guided_fsm is not None
-        multi = self.adapters is not None
 
         @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("n_steps",))
         def decode_n(params, toks, cache, pt, pos, active, temps, rng,
@@ -1151,7 +1173,9 @@ class PagedBatchedEngine:
                 jnp.asarray(self.page_table[rows]), jnp.asarray(offsets),
                 jnp.asarray(logit_at), jnp.asarray(temps), rng)
         mlkw = {}
-        if self.adapters is not None:
+        use_ml = (self.adapters is not None
+                  and bool(self.lane_adapter[rows].any()))
+        if use_ml:
             mlkw = dict(
                 ml=self.adapters.stacked,
                 lora_hot=self.adapters.lane_onehot(self.lane_adapter[rows]),
@@ -1168,10 +1192,10 @@ class PagedBatchedEngine:
             g0 = np.asarray(
                 [f.start if self.lane_req[l].guided else f.free_state
                  for l in rows], np.int32)
-            toks, self.cache, new_g = self._chunk_jit(
+            toks, self.cache, new_g = self._chunk_prog(use_ml)(
                 *args, fsm=self._fsm_args(), gstate=jnp.asarray(g0), **mlkw)
         else:
-            toks, self.cache = self._chunk_jit(*args, **mlkw)
+            toks, self.cache = self._chunk_prog(use_ml)(*args, **mlkw)
         for idx, lane in enumerate(lanes):
             o = int(self.lane_pos[lane]) + self.C
             self.lane_pos[lane] = o
@@ -1275,7 +1299,9 @@ class PagedBatchedEngine:
                 dict(fsm=self._fsm_args(), gstate=self.lane_gstate)
                 if self.guided_fsm is not None else {}
             )
-            if self.adapters is not None:
+            use_ml = (self.adapters is not None
+                      and bool(self.lane_adapter.any()))
+            if use_ml:
                 gkw.update(
                     ml=self.adapters.stacked,
                     lora_hot=self.adapters.lane_onehot(self.lane_adapter),
@@ -1286,7 +1312,7 @@ class PagedBatchedEngine:
                               jnp.asarray(self.lane_pres),
                               jnp.asarray(self.lane_freq),
                               jnp.asarray(self.lane_rep))
-            all_toks, last, self.cache, pos, gstate, counts = self._decode_jit(
+            all_toks, last, self.cache, pos, gstate, counts = self._decode_prog(use_ml)(
                 self.params, self.lane_tok, self.cache,
                 jnp.asarray(self.page_table), jnp.asarray(self.lane_pos),
                 jnp.asarray(active), jnp.asarray(self.lane_temp), rng, **gkw,
