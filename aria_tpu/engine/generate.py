@@ -317,7 +317,7 @@ class Engine:
         """Chunked speculative decode loop (called by generate after prefill)."""
         sp = gen.speculative
         cap = sp.steps_per_chunk * (sp.k + 1)
-        hist_np = np.zeros((1, self.max_seq_len + cap + sp.ngram), np.int32)
+        hist_np = np.zeros((1, self.max_seq_len + 2 * cap + sp.ngram), np.int32)
         hist_np[0, :true_len] = prompt_tokens
         hist_np[0, true_len] = first
         hist = jnp.asarray(hist_np)
@@ -334,25 +334,42 @@ class Engine:
         stop_ids = set(gen.stop_token_ids)
         stopped = first in stop_ids
         accepted = []  # produced tokens per verify step (speed diagnostic)
+        # One chunk runs ahead of the host, exactly like the plain decode
+        # loop: chunk j+1 needs only chunk j's DEVICE carry, so it is
+        # dispatched before chunk j's tokens are read back — the dispatch
+        # round trip (~100ms through a remote-TPU relay; measured 2.5x the
+        # whole device step) overlaps device compute. The budget check lags
+        # one chunk, so at most ~2 chunks of tokens overshoot before the
+        # trim (the slack validation reserves cache rows for both).
+        pending = None
         # like the plain path, the prefill token counts toward max_new_tokens
-        while not stopped and len(generated) < gen.max_new_tokens:
-            self._rng, rng_d = jax.random.split(self._rng)
-            out_buf, n_out, cur, cache, pos, hist, hist_len, per_step = (
-                spec_chunk(
-                    self.params, cur, cache, pos, hist, hist_len, rng_d,
-                    top_p, min_p,
-                    n_outer=sp.steps_per_chunk, k=sp.k, ngram=sp.ngram,
-                    temperature=gen.temperature, top_k=gen.top_k,
+        # (the budget check reads len(generated), which lags the in-flight
+        # chunk — so dispatch can overshoot by up to 2 chunks before the trim)
+        while True:
+            if not stopped and len(generated) < gen.max_new_tokens:
+                self._rng, rng_d = jax.random.split(self._rng)
+                out_buf, n_out, cur, cache, pos, hist, hist_len, per_step = (
+                    spec_chunk(
+                        self.params, cur, cache, pos, hist, hist_len, rng_d,
+                        top_p, min_p,
+                        n_outer=sp.steps_per_chunk, k=sp.k, ngram=sp.ngram,
+                        temperature=gen.temperature, top_k=gen.top_k,
+                    )
                 )
-            )
-            accepted.extend(np.asarray(per_step).tolist())
-            for t in np.asarray(out_buf)[0, : int(n_out)].tolist():
-                generated.append(t)
-                if t in stop_ids:
-                    stopped = True
-                    break
-                if len(generated) >= gen.max_new_tokens:
-                    break
+                nxt = (out_buf, n_out, per_step)
+            else:
+                nxt = None
+            if pending is not None and not stopped:
+                out_buf, n_out, per_step = pending
+                accepted.extend(np.asarray(per_step).tolist())
+                for t in np.asarray(out_buf)[0, : int(n_out)].tolist():
+                    generated.append(t)
+                    if t in stop_ids:
+                        stopped = True
+                        break
+            pending = nxt
+            if pending is None:
+                break
         generated = generated[: gen.max_new_tokens]
         for i, t in enumerate(generated):
             if t in stop_ids:
@@ -392,9 +409,10 @@ class Engine:
                     "top_p/min_p but not (yet) with guided decoding or "
                     "sampling penalties"
                 )
-            # a chunk may overshoot max_new_tokens before the host trims, and
-            # every verify step writes k+1 cache rows from the current pos
-            slack = sp.steps_per_chunk * (sp.k + 1) + sp.k
+            # up to TWO chunks may overshoot max_new_tokens before the host
+            # trims (one chunk runs ahead of the budget check), and every
+            # verify step writes k+1 cache rows from the current pos
+            slack = 2 * sp.steps_per_chunk * (sp.k + 1) + sp.k
             if bucket + gen.max_new_tokens + slack > self.max_seq_len:
                 raise ValueError(
                     f"speculative decoding needs {slack} slack cache rows: "
